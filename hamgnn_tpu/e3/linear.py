@@ -1,0 +1,110 @@
+"""Equivariant linear layers (e3nn ``o3.Linear`` semantics) for JAX/flax.
+
+An equivariant linear map mixes multiplicities within each irrep (l, p) and
+never mixes different irreps.  Implementation groups all input chunks carrying
+the same irrep, concatenates their multiplicities, and performs one matmul per
+output chunk — large, static matmuls that XLA tiles onto the MXU.
+
+Normalization matches e3nn defaults: weight init N(0,1) scaled at apply time by
+``1/sqrt(fan_in)`` with fan_in = total input multiplicity feeding the output
+chunk.  Output chunks with no matching input irrep are zero (no bias).
+Reference usage: every ``o3.Linear(...)`` in /root/reference/hamgnn/nn/.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as fnn
+
+from .irreps import Irreps
+
+
+class Linear(fnn.Module):
+    irreps_in: Irreps
+    irreps_out: Irreps
+
+    def setup(self):
+        irreps_in = Irreps(self.irreps_in)
+        irreps_out = Irreps(self.irreps_out)
+        self._in = irreps_in
+        self._out = irreps_out
+        self._in_slices = irreps_in.slices()
+
+        # for each output chunk: list of matching input chunk indices
+        plans = []
+        ws = []
+        for k, mio in enumerate(irreps_out):
+            sources = [i for i, mi in enumerate(irreps_in) if mi.ir == mio.ir]
+            fan_in = sum(irreps_in[i].mul for i in sources)
+            if fan_in > 0:
+                w = self.param(
+                    f"w{k}", fnn.initializers.normal(stddev=1.0), (fan_in, mio.mul)
+                )
+            else:
+                w = None
+            plans.append((sources, fan_in))
+            ws.append(w)
+        self._plans = plans
+        self._ws = ws
+
+    def __call__(self, x):
+        irreps_in, irreps_out = self._in, self._out
+        out_chunks = []
+        for k, mio in enumerate(irreps_out):
+            sources, fan_in = self._plans[k]
+            w = self._ws[k]
+            if w is None:
+                out_chunks.append(
+                    jnp.zeros(x.shape[:-1] + (mio.dim,), dtype=x.dtype)
+                )
+                continue
+            xs = []
+            for i in sources:
+                mi = irreps_in[i]
+                c = x[..., self._in_slices[i]]
+                xs.append(c.reshape(c.shape[:-1] + (mi.mul, mi.ir.dim)))
+            xin = jnp.concatenate(xs, axis=-2) if len(xs) > 1 else xs[0]
+            scale = 1.0 / np.sqrt(fan_in)
+            y = jnp.einsum("...ui,uv->...vi", xin, (scale * w).astype(x.dtype))
+            out_chunks.append(y.reshape(y.shape[:-2] + (mio.dim,)))
+        return jnp.concatenate(out_chunks, axis=-1)
+
+
+class ElementwiseChannelScale(fnn.Module):
+    """Scale each irrep channel (multiplicity index) by an external scalar.
+
+    TPU-native equivalent of the reference's ``LinearScaleWithWeights`` tensor
+    product with ``1x0e`` ones (/root/reference/hamgnn/nn/tensor_products.py:25-47):
+    a per-sample weight vector of length ``irreps.num_irreps`` scales each
+    channel, followed by an equivariant Linear.  The degenerate TP is replaced
+    by a broadcasted multiply (pure VPU, fuses with neighbors).
+    """
+
+    irreps_in: Irreps
+    irreps_out: Irreps
+
+    def setup(self):
+        self.linear_out = Linear(Irreps(self.irreps_in), Irreps(self.irreps_out))
+
+    @property
+    def weight_numel(self) -> int:
+        return Irreps(self.irreps_in).num_irreps
+
+    def __call__(self, x, weight):
+        """x: (..., irreps_in.dim); weight: (..., num_irreps)."""
+        irreps_in = Irreps(self.irreps_in)
+        chunks = []
+        w_ofs = 0
+        for sl, mi in zip(irreps_in.slices(), irreps_in):
+            c = x[..., sl].reshape(x.shape[:-1] + (mi.mul, mi.ir.dim))
+            w = weight[..., w_ofs : w_ofs + mi.mul]
+            # e3nn 'uvu' path with 1x0e second input: alpha = 1 (single path,
+            # num_elements = 1), so plain channel scaling.
+            c = c * w[..., :, None]
+            chunks.append(c.reshape(x.shape[:-1] + (mi.dim,)))
+            w_ofs += mi.mul
+        scaled = jnp.concatenate(chunks, axis=-1)
+        return self.linear_out(scaled)

@@ -1,0 +1,146 @@
+"""Tests for the e3 core: irreps algebra, Wigner machinery, spherical harmonics.
+
+Anchors:
+  * CG coefficients cross-checked against sympy (exact).
+  * wigner_3j invariance under rotations with recursion-built Wigner-D.
+  * Real SH match the standard real-spherical-harmonic table (the reference
+    feeds (y,z,x)-permuted vectors into e3nn SH, which equals this convention;
+    /root/reference/hamgnn/toolbox/nequip/nn/embedding/_edge.py:45,59-67).
+"""
+
+import numpy as np
+import pytest
+
+from hamgnn_tpu.e3.irreps import Irrep, Irreps, irreps2gate
+from hamgnn_tpu.e3.spherical import spherical_harmonics
+from hamgnn_tpu.e3.wigner import wigner_3j, wigner_D
+
+
+def rand_rot(rng):
+    a = rng.normal(size=(3, 3))
+    q, _ = np.linalg.qr(a)
+    if np.linalg.det(q) < 0:
+        q[:, 0] = -q[:, 0]
+    return q
+
+
+class TestIrreps:
+    def test_parse_roundtrip(self):
+        s = "64x0e+32x1o+16x2e+4x3o"
+        assert repr(Irreps(s)) == s
+
+    def test_dims(self):
+        irr = Irreps("64x0e+32x1o+16x2e")
+        assert irr.dim == 64 + 96 + 80
+        assert irr.num_irreps == 112
+        assert irr.lmax == 2
+
+    def test_product_selection_rule(self):
+        out = Irrep.parse("1o") * Irrep.parse("2e")
+        assert out == [Irrep(1, -1), Irrep(2, -1), Irrep(3, -1)]
+
+    def test_sort_permutation(self):
+        irr = Irreps("1x1e+1x0e+1x1e")
+        s, p, inv = irr.sort()
+        assert repr(s) == "1x0e+1x1e+1x1e"
+        assert p == (1, 0, 2)
+
+    def test_simplify(self):
+        assert repr(Irreps("2x0e+3x0e+1x1o").simplify()) == "5x0e+1x1o"
+
+    def test_slices(self):
+        irr = Irreps("2x0e+1x1o")
+        assert irr.slices() == [slice(0, 2), slice(2, 5)]
+
+    def test_irreps2gate(self):
+        sc, g, gated = irreps2gate(Irreps("4x0e+2x0o+3x1o+1x2e"))
+        assert repr(sc) == "4x0e+2x0o"
+        assert repr(g) == "4x0e"
+        assert repr(gated) == "3x1o+1x2e"
+
+
+class TestWigner:
+    def test_3j_invariance(self):
+        rng = np.random.default_rng(3)
+        for l1, l2, l3 in [(1, 1, 1), (2, 1, 3), (2, 2, 2), (4, 3, 2), (5, 1, 4), (6, 6, 6)]:
+            C = wigner_3j(l1, l2, l3)
+            R = rand_rot(rng)
+            D1, D2, D3 = wigner_D(l1, R), wigner_D(l2, R), wigner_D(l3, R)
+            C2 = np.einsum("ia,jb,kc,abc->ijk", D1, D2, D3, C)
+            np.testing.assert_allclose(C2, C, atol=5e-9)
+
+    def test_3j_norm_and_levi_civita(self):
+        C = wigner_3j(1, 1, 1)
+        assert abs(np.linalg.norm(C.ravel()) - 1.0) < 1e-12
+        eps = np.zeros((3, 3, 3))
+        for i, j, k in [(0, 1, 2), (1, 2, 0), (2, 0, 1)]:
+            eps[i, j, k] = 1
+            eps[tuple(reversed((i, j, k)))] = -1
+        np.testing.assert_allclose(C, eps / np.sqrt(6), atol=1e-12)
+
+    def test_D_orthogonal(self):
+        rng = np.random.default_rng(5)
+        R = rand_rot(rng)
+        for l in range(7):
+            D = wigner_D(l, R)
+            np.testing.assert_allclose(D @ D.T, np.eye(2 * l + 1), atol=1e-10)
+
+    def test_D_homomorphism(self):
+        rng = np.random.default_rng(7)
+        R1, R2 = rand_rot(rng), rand_rot(rng)
+        for l in (2, 4):
+            np.testing.assert_allclose(
+                wigner_D(l, R1 @ R2), wigner_D(l, R1) @ wigner_D(l, R2), atol=1e-10
+            )
+
+
+class TestSphericalHarmonics:
+    def setup_method(self):
+        rng = np.random.default_rng(11)
+        v = rng.normal(size=(64, 3))
+        self.v = v / np.linalg.norm(v, axis=-1, keepdims=True)
+
+    def test_l1_is_yzx(self):
+        Y = np.asarray(spherical_harmonics([1], self.v))
+        x, y, z = self.v.T
+        np.testing.assert_allclose(Y, np.sqrt(3) * np.stack([y, z, x], -1), atol=1e-6)
+
+    def test_l2_matches_real_sh_table(self):
+        Y = np.asarray(spherical_harmonics([2], self.v))
+        x, y, z = self.v.T
+        ref = np.stack(
+            [
+                np.sqrt(15) * x * y,
+                np.sqrt(15) * y * z,
+                np.sqrt(5) / 2 * (3 * z * z - 1),
+                np.sqrt(15) * x * z,
+                np.sqrt(15) / 2 * (x * x - y * y),
+            ],
+            -1,
+        )
+        np.testing.assert_allclose(Y, ref, atol=1e-5)
+
+    def test_l3_m0(self):
+        Y = np.asarray(spherical_harmonics([3], self.v))
+        z = self.v[:, 2]
+        np.testing.assert_allclose(Y[:, 3], np.sqrt(7) / 2 * (5 * z**3 - 3 * z), atol=1e-5)
+
+    def test_component_norm(self):
+        for l in range(6):
+            Y = np.asarray(spherical_harmonics([l], self.v))
+            np.testing.assert_allclose((Y**2).sum(-1), 2 * l + 1, rtol=1e-5)
+
+    def test_equivariance(self):
+        rng = np.random.default_rng(13)
+        R = rand_rot(rng)
+        for l in (1, 2, 3, 4, 5):
+            Y_rot = np.asarray(spherical_harmonics([l], self.v @ R.T))
+            D = wigner_D(l, R)
+            Y = np.asarray(spherical_harmonics([l], self.v))
+            np.testing.assert_allclose(Y_rot, Y @ D.T, atol=2e-5)
+
+    def test_parity(self):
+        for l in (1, 2, 3, 4):
+            Yp = np.asarray(spherical_harmonics([l], self.v))
+            Ym = np.asarray(spherical_harmonics([l], -self.v))
+            np.testing.assert_allclose(Ym, (-1.0) ** l * Yp, atol=1e-5)
