@@ -1,0 +1,175 @@
+"""HamGNNConvE3 — the E(3)-equivariant representation network, TPU-native.
+
+Mirrors the reference stack (/root/reference/hamgnn/models/hamgnn_conv.py:88-284):
+one-hot / charge-doped embedding -> edge spherical harmonics -> RBF x cosine
+cutoff -> pair-interaction edge embedding -> atomwise chemical embedding ->
+num_layers x (ConvBlockE3 [-> CorrProductBlock] -> PairInteractionBlock).
+
+Differences by design (TPU):
+  * pure-functional over a padded :class:`hamgnn_tpu.data.graph.Graph`;
+  * jax.checkpoint (remat) instead of the clone-based torch checkpoint wrapper
+    (hamgnn_conv.py:40-85) — layers are pure, so no cloning is needed;
+  * static shapes; padded edges are masked inside ConvBlock aggregation.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as fnn
+
+from ..data.graph import Graph
+from ..e3.irreps import Irreps
+from ..e3.linear import Linear
+from ..e3.spherical import spherical_harmonics
+from ..nn.blocks import (
+    ConvBlockE3,
+    CorrProductBlock,
+    PairInteractionBlock,
+    PairInteractionEmbeddingBlock,
+)
+from ..nn.mlp import FullyConnectedNet
+from ..nn.radial import RBF_REGISTRY, cosine_cutoff
+
+
+class ChargeDopedOneHot(fnn.Module):
+    """One-hot(z) with optional Gaussian-smeared doping-charge residual
+    (reference toolbox/nequip/nn/embedding/_embedding_block.py:56-137)."""
+
+    num_types: int
+    apply_charge_doping: bool = False
+    num_charge_attr_feas: int = 8
+
+    @fnn.compact
+    def __call__(self, z, doping_charge_per_node=None):
+        one_hot = jax.nn.one_hot(z, self.num_types, dtype=jnp.float32)
+        if not self.apply_charge_doping:
+            return one_hot
+        cmin, cmax = -8.0, 8.0
+        n = self.num_charge_attr_feas
+        width = (cmax - cmin) / (n - 1) if n > 1 else 1.0
+        centers = jnp.linspace(cmin, cmax, n)
+        gamma = 1.0 / width**2
+
+        def smear(q):
+            d = jnp.clip(q, cmin, cmax)[..., None] - centers
+            return jnp.exp(-gamma * d * d)
+
+        mlp = FullyConnectedNet(hs=(n, n, n, self.num_types), act_name="silu")
+        q_attr = smear(doping_charge_per_node)
+        neutral = smear(jnp.zeros_like(doping_charge_per_node))
+        return one_hot + mlp(q_attr) - mlp(neutral)
+
+
+class HamGNNConvE3(fnn.Module):
+    """Representation network producing {node_attr, edge_attr} irreps features."""
+
+    num_types: int = 96
+    irreps_edge_sh: str = "0e + 1o + 2e + 3o + 4e + 5o"
+    irreps_node_features: str = "64x0e+32x1o+16x2e"
+    num_layers: int = 3
+    num_radial: int = 64
+    rbf_func: str = "bessel"
+    cutoff: float = 26.0
+    radial_mlp: Tuple[int, ...] = (64, 64)
+    use_corr_prod: bool = False
+    correlation: int = 2
+    num_hidden_features: int = 16
+    use_kan: bool = False
+    lite_mode: bool = False
+    apply_charge_doping: bool = False
+    num_charge_attr_feas: int = 8
+    use_gradient_checkpointing: bool = False
+
+    @fnn.compact
+    def __call__(self, graph: Graph):
+        irreps_sh = Irreps(self.irreps_edge_sh)
+        irreps_feat = Irreps(self.irreps_node_features)
+        irreps_onehot = Irreps(f"{self.num_types}x0e")
+        sh_ls = [ir.l for _, ir in irreps_sh]
+
+        # --- embeddings -------------------------------------------------
+        doping = None
+        if self.apply_charge_doping and graph.doping_charge is not None:
+            doping = graph.doping_charge[graph.batch]
+        node_attrs = ChargeDopedOneHot(
+            num_types=self.num_types,
+            apply_charge_doping=self.apply_charge_doping,
+            num_charge_attr_feas=self.num_charge_attr_feas,
+            name="atomic_embedding",
+        )(graph.z, doping)
+
+        edge_vec = graph.edge_vectors()
+        edge_len = jnp.sqrt(jnp.sum(edge_vec * edge_vec, axis=-1))
+        edge_len = jnp.where(graph.edge_mask, edge_len, 1.0)  # avoid 0-length pads
+        edge_sh = spherical_harmonics(sh_ls, edge_vec, normalize=True)
+
+        rbf = RBF_REGISTRY[self.rbf_func](self.num_radial, self.cutoff)(edge_len)
+        edge_scalars = rbf * cosine_cutoff(edge_len, self.cutoff)[:, None]
+
+        edge_feats = PairInteractionEmbeddingBlock(
+            irreps_node_feats=irreps_onehot,
+            irreps_edge_feats=irreps_feat,
+            irreps_edge_attrs=irreps_sh,
+            num_edge_scalars=self.num_radial,
+            radial_mlp=tuple(self.radial_mlp),
+            use_kan=self.use_kan,
+            lite_mode=self.lite_mode,
+            name="pair_embedding",
+        )(node_attrs, edge_sh, edge_scalars, graph.edge_index)
+
+        node_feats = Linear(irreps_onehot, irreps_feat, name="chemical_embedding")(node_attrs)
+
+        # --- interaction layers ----------------------------------------
+        # jax remat replaces the reference's clone-based checkpoint wrapper
+        # (hamgnn_conv.py:40-85) — blocks are pure functions here.
+        Conv = fnn.remat(ConvBlockE3) if self.use_gradient_checkpointing else ConvBlockE3
+        Corr = fnn.remat(CorrProductBlock) if self.use_gradient_checkpointing else CorrProductBlock
+        Pair = fnn.remat(PairInteractionBlock) if self.use_gradient_checkpointing else PairInteractionBlock
+        for i in range(self.num_layers):
+            conv = Conv(
+                irreps_in=irreps_feat,
+                irreps_out=irreps_feat,
+                irreps_edge_attrs=irreps_sh,
+                num_edge_scalars=self.num_radial,
+                radial_mlp=tuple(self.radial_mlp),
+                use_skip_connections=True,
+                use_kan=self.use_kan,
+                lite_mode=self.lite_mode,
+                name=f"conv_{i}",
+            )
+            corr = (
+                Corr(
+                    irreps_node_feats=irreps_feat,
+                    num_hidden_features=self.num_hidden_features,
+                    correlation=self.correlation,
+                    num_elements=self.num_types,
+                    use_skip_connections=True,
+                    name=f"corr_{i}",
+                )
+                if self.use_corr_prod
+                else None
+            )
+            pair = Pair(
+                irreps_node_feats=irreps_feat,
+                irreps_edge_feats=irreps_feat,
+                irreps_edge_attrs=irreps_sh,
+                num_edge_scalars=self.num_radial,
+                radial_mlp=tuple(self.radial_mlp),
+                use_skip_connections=True,
+                use_kan=self.use_kan,
+                lite_mode=self.lite_mode,
+                name=f"pair_{i}",
+            )
+
+            node_feats = conv(
+                node_feats, edge_feats, edge_sh, edge_scalars, graph.edge_index,
+                graph.edge_mask)
+            if corr is not None:
+                node_feats = corr(node_feats, node_attrs)
+            edge_feats = pair(
+                node_feats, edge_feats, edge_sh, edge_scalars, graph.edge_index)
+
+        return {"node_attr": node_feats, "edge_attr": edge_feats}

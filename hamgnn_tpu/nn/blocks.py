@@ -1,0 +1,302 @@
+"""Equivariant GNN blocks: message packing, convolution, pair interaction.
+
+TPU-native redesign of the reference's block set
+(/root/reference/hamgnn/nn/{message_passing,convolution,interaction_blocks}.py):
+pure-functional flax modules over explicit arrays (no dict mutation), gather /
+batched-tensor-product / segment-sum structure that XLA fuses, and static
+``num_segments`` everywhere (the reference's fixed ``dim_size`` scatter,
+convolution.py:147-149, is the default here).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as fnn
+
+from ..e3.gate import NormActivation, make_gate
+from ..e3.irreps import Irreps
+from ..e3.linear import ElementwiseChannelScale, Linear
+from ..e3.tensor_product import TensorProduct, tp_out_irreps_with_instructions
+from .mlp import make_weight_generator
+from .symmetric_contraction import SymmetricContraction
+
+
+def segment_sum(messages, receiver, num_nodes: int):
+    """Edge-to-node aggregation with static output size."""
+    return jax.ops.segment_sum(messages, receiver, num_segments=num_nodes)
+
+
+def fuse_src_dst(irreps: Irreps, src_feats, dst_feats):
+    """Interleave src/dst features into doubled-multiplicity irreps.
+
+    Equivalent to the reference's stack + AttentionHeadsToVector
+    (message_passing.py:66-67,201-202): each (mul, ir) chunk becomes
+    (2*mul, ir) = [src muls | dst muls].
+    """
+    chunks = []
+    for sl in Irreps(irreps).slices():
+        chunks.append(src_feats[..., sl])
+        chunks.append(dst_feats[..., sl])
+    return jnp.concatenate(chunks, axis=-1)
+
+
+class ResidualBlock(fnn.Module):
+    """linear -> Gate/NormActivation -> linear (+ resnet).
+
+    Reference: interaction_blocks.py:264-358 (HamLayer variant in the output
+    net shares this structure).
+    """
+
+    irreps_in: Irreps
+    irreps_hidden: Irreps
+    resnet: bool = True
+    nonlinearity_type: str = "gate"
+    nonlinearity_scalars: Tuple[str, str] = ("ssp", "tanh")
+    nonlinearity_gates: Tuple[str, str] = ("ssp", "abs")
+
+    @fnn.compact
+    def __call__(self, x):
+        irreps_in = Irreps(self.irreps_in)
+        irreps_hidden = Irreps(self.irreps_hidden)
+        if self.nonlinearity_type == "gate":
+            gate, gate_in = make_gate(
+                irreps_hidden, self.nonlinearity_scalars, self.nonlinearity_gates
+            )
+            h = Linear(irreps_in, gate_in, name="linear1")(x)
+            h = gate(h)
+            h = Linear(gate.irreps_out, irreps_in, name="linear2")(h)
+        else:
+            h = Linear(irreps_in, irreps_hidden, name="linear1")(x)
+            h = NormActivation(irreps_in=irreps_hidden,
+                               scalar_nonlinearity=self.nonlinearity_scalars[0])(h)
+            h = Linear(irreps_hidden, irreps_in, name="linear2")(h)
+        return x + h if self.resnet else h
+
+
+class MessagePackBlock(fnn.Module):
+    """Edge message kernel (reference message_passing.py:26-231).
+
+    Pathways: fused (src,dst) node features (x) edge SH, and edge features (x)
+    edge SH; per-edge radial weights scale each channel; both pathways pass
+    through equivariant linears and are summed.
+    """
+
+    irreps_node_feats: Irreps
+    irreps_edge_feats: Irreps
+    irreps_local_env_edge: Irreps   # edge SH attrs
+    irreps_out: Irreps
+    num_edge_scalars: int           # rbf channel count
+    radial_mlp: Tuple[int, ...] = (64, 64)
+    use_kan: bool = False
+    lite_mode: bool = False
+
+    @fnn.compact
+    def __call__(self, node_feats_src, node_feats_dst, edge_feats, local_env_edge,
+                 edge_scalars):
+        irreps_node = Irreps(self.irreps_node_feats)
+        irreps_edge = Irreps(self.irreps_edge_feats)
+        irreps_sh = Irreps(self.irreps_local_env_edge)
+        irreps_out = Irreps(self.irreps_out)
+        mode = "uvu" if self.lite_mode else "uvw"
+        trainable = not self.lite_mode
+
+        combined = Irreps([(2 * mul, ir) for mul, ir in irreps_node])
+        mid_node, ins_node = tp_out_irreps_with_instructions(
+            combined, irreps_sh, irreps_out, mode=mode, trainable=trainable)
+        mid_edge, ins_edge = tp_out_irreps_with_instructions(
+            irreps_edge, irreps_sh, irreps_out, mode=mode, trainable=trainable)
+
+        node_inter = fuse_src_dst(irreps_node, node_feats_src, node_feats_dst)
+        node_up = TensorProduct(combined, irreps_sh, mid_node, tuple(ins_node),
+                                name="node_tp")(node_inter, local_env_edge)
+        edge_up = TensorProduct(irreps_edge, irreps_sh, mid_edge, tuple(ins_edge),
+                                name="edge_tp")(edge_feats, local_env_edge)
+
+        if self.lite_mode:
+            node_dn = Linear(mid_node.simplify(), irreps_out, name="node_scaler")(node_up)
+            edge_dn = Linear(mid_edge.simplify(), irreps_out, name="edge_scaler")(edge_up)
+            combine = ElementwiseChannelScale(
+                irreps_in=irreps_out.simplify(), irreps_out=irreps_out, name="combine")
+            w = make_weight_generator(
+                self.num_edge_scalars, self.radial_mlp, combine.weight_numel,
+                self.use_kan)(edge_scalars)
+            return combine(node_dn + edge_dn, w)
+
+        node_scaler = ElementwiseChannelScale(
+            irreps_in=mid_node.simplify(), irreps_out=irreps_out, name="node_scaler")
+        edge_scaler = ElementwiseChannelScale(
+            irreps_in=mid_edge.simplify(), irreps_out=irreps_out, name="edge_scaler")
+        w_node = make_weight_generator(
+            self.num_edge_scalars, self.radial_mlp, node_scaler.weight_numel,
+            self.use_kan, )(edge_scalars)
+        w_edge = make_weight_generator(
+            self.num_edge_scalars, self.radial_mlp, edge_scaler.weight_numel,
+            self.use_kan)(edge_scalars)
+        node_dn = node_scaler(node_up, w_node)
+        edge_dn = edge_scaler(edge_up, w_edge)
+        out = (Linear(irreps_out, irreps_out, name="node_out")(node_dn)
+               + Linear(irreps_out, irreps_out, name="edge_out")(edge_dn))
+        return out
+
+
+class ConvBlockE3(fnn.Module):
+    """Node update: skip + segment-sum of edge messages + residual.
+
+    Reference: convolution.py:23-160.
+    """
+
+    irreps_in: Irreps
+    irreps_out: Irreps
+    irreps_edge_attrs: Irreps
+    num_edge_scalars: int
+    radial_mlp: Tuple[int, ...] = (64, 64, 64)
+    use_skip_connections: bool = True
+    use_kan: bool = False
+    lite_mode: bool = False
+
+    @fnn.compact
+    def __call__(self, node_feats, edge_feats, edge_sh, edge_scalars, edge_index,
+                 edge_mask):
+        irreps_in = Irreps(self.irreps_in)
+        irreps_out = Irreps(self.irreps_out)
+        num_nodes = node_feats.shape[0]
+        src, dst = edge_index[0], edge_index[1]
+
+        skip = Linear(irreps_in, irreps_out, name="skip")(node_feats) \
+            if self.use_skip_connections else None
+
+        messages = MessagePackBlock(
+            irreps_node_feats=irreps_in,
+            irreps_edge_feats=irreps_in,
+            irreps_local_env_edge=Irreps(self.irreps_edge_attrs),
+            irreps_out=irreps_out,
+            num_edge_scalars=self.num_edge_scalars,
+            radial_mlp=tuple(self.radial_mlp),
+            use_kan=self.use_kan,
+            lite_mode=self.lite_mode,
+            name="conv_tp",
+        )(node_feats[src], node_feats[dst], edge_feats, edge_sh, edge_scalars)
+        messages = messages * edge_mask[:, None].astype(messages.dtype)
+
+        agg = segment_sum(messages, dst, num_nodes)
+        out = ResidualBlock(irreps_in=irreps_out, irreps_hidden=irreps_out,
+                            name="residual")(agg)
+        if skip is not None:
+            out = out + skip
+        return out
+
+
+class PairInteractionBlock(fnn.Module):
+    """Edge update from lifted node features (reference interaction_blocks.py:30-164)."""
+
+    irreps_node_feats: Irreps
+    irreps_edge_feats: Irreps
+    irreps_edge_attrs: Irreps
+    num_edge_scalars: int
+    radial_mlp: Tuple[int, ...] = (64, 64, 64)
+    use_skip_connections: bool = True
+    use_kan: bool = False
+    lite_mode: bool = False
+
+    @fnn.compact
+    def __call__(self, node_feats, edge_feats, edge_sh, edge_scalars, edge_index):
+        irreps_node = Irreps(self.irreps_node_feats)
+        irreps_edge = Irreps(self.irreps_edge_feats)
+        src, dst = edge_index[0], edge_index[1]
+
+        up_src = Linear(irreps_node, irreps_node, name="linear_up_src")(node_feats)
+        up_dst = Linear(irreps_node, irreps_node, name="linear_up_tar")(node_feats)
+
+        mix = MessagePackBlock(
+            irreps_node_feats=irreps_node,
+            irreps_edge_feats=irreps_edge,
+            irreps_local_env_edge=Irreps(self.irreps_edge_attrs),
+            irreps_out=irreps_edge,
+            num_edge_scalars=self.num_edge_scalars,
+            radial_mlp=tuple(self.radial_mlp),
+            use_kan=self.use_kan,
+            lite_mode=self.lite_mode,
+            name="conv_tp",
+        )(up_src[src], up_dst[dst], edge_feats, edge_sh, edge_scalars)
+
+        if self.use_skip_connections:
+            return mix + Linear(irreps_edge, irreps_edge, name="skip")(edge_feats)
+        return mix
+
+
+class PairInteractionEmbeddingBlock(fnn.Module):
+    """Initial edge features: TP of (lin(src)+lin(dst)) with edge SH, channel-
+    scaled by radial weights (reference embeddings.py:215-337)."""
+
+    irreps_node_feats: Irreps       # node attr irreps (one-hot scalars)
+    irreps_edge_feats: Irreps       # output edge feature irreps
+    irreps_edge_attrs: Irreps       # SH irreps
+    num_edge_scalars: int
+    radial_mlp: Tuple[int, ...] = (64, 64, 64)
+    use_kan: bool = False
+    lite_mode: bool = False
+
+    @fnn.compact
+    def __call__(self, node_feats, edge_sh, edge_scalars, edge_index):
+        irreps_node = Irreps(self.irreps_node_feats)
+        irreps_out = Irreps(self.irreps_edge_feats)
+        irreps_sh = Irreps(self.irreps_edge_attrs)
+        src, dst = edge_index[0], edge_index[1]
+
+        up_src = Linear(irreps_node, irreps_node, name="linear_up_src")(node_feats)
+        up_dst = Linear(irreps_node, irreps_node, name="linear_up_dst")(node_feats)
+        x = up_src[src] + up_dst[dst]
+
+        mode = "uvu" if self.lite_mode else "uvw"
+        mid, ins = tp_out_irreps_with_instructions(
+            irreps_node, irreps_sh, irreps_out, mode=mode, trainable=not self.lite_mode)
+        up = TensorProduct(irreps_node, irreps_sh, mid, tuple(ins), name="tp")(x, edge_sh)
+        scaler = ElementwiseChannelScale(
+            irreps_in=mid.simplify(), irreps_out=irreps_out, name="scaler")
+        w = make_weight_generator(
+            self.num_edge_scalars, self.radial_mlp, scaler.weight_numel,
+            self.use_kan)(edge_scalars)
+        return scaler(up, w)
+
+
+class CorrProductBlock(fnn.Module):
+    """Many-body node update via symmetric contraction
+    (reference interaction_blocks.py:168-260)."""
+
+    irreps_node_feats: Irreps
+    num_hidden_features: int
+    correlation: int
+    num_elements: int
+    use_skip_connections: bool = True
+
+    @fnn.compact
+    def __call__(self, node_feats, node_attrs):
+        irreps_node = Irreps(self.irreps_node_feats).simplify()
+        irreps_hidden = Irreps([(self.num_hidden_features, ir) for _, ir in irreps_node])
+        coupling = Irreps([(1, ir) for _, ir in irreps_node])
+
+        h = Linear(irreps_node, irreps_hidden, name="linear_pre")(node_feats)
+        # reshape_irreps: (N, sum mul*dim) -> (N, channels, n_ell)
+        chunks = []
+        for sl, (mul, ir) in zip(irreps_hidden.slices(), irreps_hidden):
+            c = h[..., sl].reshape(h.shape[:-1] + (mul, ir.dim))
+            chunks.append(c)
+        x = jnp.concatenate(chunks, axis=-1)
+
+        prod = SymmetricContraction(
+            coupling_irreps=repr(coupling),
+            irreps_out=repr(irreps_hidden),
+            correlation=self.correlation,
+            num_features=self.num_hidden_features,
+            num_elements=self.num_elements,
+            name="prod",
+        )(x, node_attrs)
+        # MACE applies a linear inside EquivariantProductBasisBlock
+        prod = Linear(irreps_hidden, irreps_hidden, name="prod_linear")(prod)
+        out = Linear(irreps_hidden, irreps_node, name="linear_out")(prod)
+        if self.use_skip_connections:
+            out = out + Linear(irreps_node, irreps_node, name="linear_sc")(node_feats)
+        return out

@@ -1,0 +1,83 @@
+"""Shared synthetic-crystal fixtures for tests and benchmarks.
+
+Builds small periodic structures with the same graph fields the reference's
+data generator emits (/root/reference/DFT_interfaces/openmx/graph_data_gen.py:357-374),
+using our own radius-graph builder so no DFT code is needed.
+"""
+
+import numpy as np
+
+
+def make_crystal(rng, n_atoms=4, species=(6, 14), cell_size=6.0, cutoff=4.0):
+    """Random periodic crystal dict with edges from a PBC radius graph."""
+    cell = np.eye(3) * cell_size + rng.normal(scale=0.1, size=(3, 3))
+    frac = rng.uniform(size=(n_atoms, 3))
+    pos = frac @ cell
+    z = rng.choice(species, size=n_atoms)
+
+    # brute-force PBC neighbor list over 3^3 images
+    src, dst, shifts, cshifts = [], [], [], []
+    for i in range(n_atoms):
+        for j in range(n_atoms):
+            for sx in (-1, 0, 1):
+                for sy in (-1, 0, 1):
+                    for sz in (-1, 0, 1):
+                        S = np.array([sx, sy, sz])
+                        d = pos[j] + S @ cell - pos[i]
+                        r = np.linalg.norm(d)
+                        if 1e-6 < r < cutoff:
+                            src.append(i)
+                            dst.append(j)
+                            shifts.append(S @ cell)
+                            cshifts.append(S)
+    edge_index = np.array([src, dst], dtype=np.int64)
+    nbr_shift = np.array(shifts, dtype=np.float64).reshape(-1, 3)
+    cell_shift = np.array(cshifts, dtype=np.int64).reshape(-1, 3)
+
+    # inverse edge: edge (i,j,S) <-> (j,i,-S)
+    ne = edge_index.shape[1]
+    inv = np.zeros(ne, dtype=np.int64)
+    key = {}
+    for e in range(ne):
+        key[(src[e], dst[e], tuple(cshifts[e]))] = e
+    for e in range(ne):
+        inv[e] = key[(dst[e], src[e], tuple(-cell_shift[e]))]
+
+    return {
+        "z": z.astype(np.int64),
+        "pos": pos,
+        "cell": cell[None],
+        "edge_index": edge_index,
+        "inv_edge_idx": inv,
+        "nbr_shift": nbr_shift,
+        "cell_shift": cell_shift,
+    }
+
+
+def add_random_hamiltonian_targets(rng, crystal, nao_max=14, herm=True):
+    """Attach random Hermitian-consistent Hon/Hoff/H0/S targets."""
+    n = crystal["z"].shape[0]
+    e = crystal["edge_index"].shape[1]
+    nao2 = nao_max * nao_max
+
+    Hon = rng.normal(size=(n, nao_max, nao_max))
+    Hon = 0.5 * (Hon + Hon.transpose(0, 2, 1))
+    Hoff = rng.normal(size=(e, nao_max, nao_max))
+    if herm:
+        inv = crystal["inv_edge_idx"]
+        Hoff = 0.5 * (Hoff + Hoff[inv].transpose(0, 2, 1))
+    Son = np.stack([np.eye(nao_max)] * n)
+    Soff = 0.1 * rng.normal(size=(e, nao_max, nao_max))
+    if herm:
+        Soff = 0.5 * (Soff + Soff[inv].transpose(0, 2, 1))
+
+    crystal = dict(crystal)
+    crystal.update(
+        Hon=Hon.reshape(n, nao2),
+        Hoff=Hoff.reshape(e, nao2),
+        Hon0=np.zeros((n, nao2)),
+        Hoff0=np.zeros((e, nao2)),
+        Son=Son.reshape(n, nao2),
+        Soff=Soff.reshape(e, nao2),
+    )
+    return crystal
