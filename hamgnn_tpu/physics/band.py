@@ -1,0 +1,153 @@
+"""Batched k-space Hamiltonian assembly and generalized eigensolve (TPU).
+
+Redesign of the reference's per-crystal Python loops
+(/root/reference/hamgnn/models/hamgnn_output.py:1675-1997): here H(k)/S(k) for
+the whole batch are assembled with two scatter-adds over nodes/edges (static
+shapes), and the generalized eigenproblem is solved with identity padding
+instead of the reference's dynamic ``masked_select`` compaction (:1899-1910) —
+invalid/padded orbitals get S=1, H=LARGE on the diagonal, pushing them to the
+top of the spectrum where they never intersect the physical band window.
+
+Phase convention (reference :1779-1790): exp(+2*pi*i k . nbr_shift) with both
+k and nbr_shift Cartesian; off-site block (src, dst) at row src, col dst.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.graph import Graph
+from ..models.basis import BasisSetInfo
+
+# Pad-orbital diagonal energy: must sit far above any physical band, but the
+# f32 eigh's absolute error scales as ~1e-7 * |max entry|, so keep it as small
+# as safely possible (1e3 -> ~1e-4 eV band error; 1e6 would cost ~0.1 eV).
+_PAD_ENERGY = 1.0e3
+
+
+def assemble_k_matrices(
+    graph: Graph,
+    h_on: jnp.ndarray,        # (N, nao^2)
+    h_off: jnp.ndarray,       # (E, nao^2)
+    k_vecs: jnp.ndarray,      # (B, nk, 3) Cartesian
+    nao: int,
+    max_atoms: int,
+) -> jnp.ndarray:
+    """Returns (B, nk, max_atoms*nao, max_atoms*nao) complex H(k)."""
+    B = graph.num_graphs
+    nk = k_vecs.shape[1]
+    M = max_atoms
+    dtype_c = jnp.complex64 if h_on.dtype == jnp.float32 else jnp.complex128
+
+    node_offset = jnp.cumsum(graph.node_counts) - graph.node_counts
+    local = (jnp.arange(graph.num_nodes, dtype=jnp.int32) - node_offset[graph.batch])
+    local = jnp.clip(local, 0, M - 1)
+
+    src, dst = graph.edge_index[0], graph.edge_index[1]
+    b_e = graph.batch[src]
+    src_l = jnp.clip(src - node_offset[b_e], 0, M - 1)
+    dst_l = jnp.clip(dst - node_offset[b_e], 0, M - 1)
+
+    hk = jnp.zeros((B, M, M, nao, nao), dtype_c)
+    on_blocks = (h_on * graph.node_mask[:, None]).reshape(-1, nao, nao).astype(dtype_c)
+    hk = hk.at[graph.batch, local, local].add(on_blocks)
+    hk = jnp.broadcast_to(hk[:, None], (B, nk, M, M, nao, nao))
+
+    # phases: (E, nk) — exp(+2*pi*i k . nbr_shift), Cartesian dot product
+    k_per_edge = k_vecs[b_e]                                   # (E, nk, 3)
+    dot = jnp.sum(graph.nbr_shift[:, None, :] * k_per_edge, axis=-1)
+    phase = jnp.exp((2j * jnp.pi) * dot.astype(dtype_c))
+    off_blocks = (h_off * graph.edge_mask[:, None]).reshape(-1, nao, nao).astype(dtype_c)
+    contrib = phase[:, :, None, None] * off_blocks[:, None]
+    hk = hk.at[b_e, :, src_l, dst_l].add(contrib)
+
+    # (B, nk, M, M, nao, nao) -> (B, nk, M*nao, M*nao): swap atom/orbital dims
+    hk = jnp.swapaxes(hk, 3, 4).reshape(B, nk, M * nao, M * nao)
+    return hk
+
+
+def band_energies_batched(
+    graph: Graph,
+    h_on: jnp.ndarray,
+    h_off: jnp.ndarray,
+    s_on: jnp.ndarray,
+    s_off: jnp.ndarray,
+    k_vecs: jnp.ndarray,
+    basis: BasisSetInfo,
+    num_bands: int = 8,
+    max_atoms: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Generalized bands around half filling.
+
+    Returns (band_energy (B, nk, 2*num_bands), wavefunction
+    (B, nk, 2*num_bands, M*nao), band_gap (B,)).
+    """
+    nao = basis.nao_max
+    M = int(max_atoms) if max_atoms is not None else int(graph.num_nodes)
+    B = graph.num_graphs
+    dtype = h_on.dtype
+
+    HK = assemble_k_matrices(graph, h_on, h_off, k_vecs, nao, M)
+    SK = assemble_k_matrices(graph, s_on, s_off, k_vecs, nao, M)
+
+    # validity mask per (crystal, local atom, orbital)
+    mask_table = jnp.asarray(basis.orbital_mask_table, dtype)
+    node_orb = mask_table[graph.z] * graph.node_mask[:, None]      # (N, nao)
+    node_offset = jnp.cumsum(graph.node_counts) - graph.node_counts
+    local = jnp.clip(
+        jnp.arange(graph.num_nodes, dtype=jnp.int32) - node_offset[graph.batch], 0, M - 1)
+    orb_valid = jnp.zeros((B, M, nao), dtype)
+    orb_valid = orb_valid.at[graph.batch, local].max(node_orb)
+    orb_valid = orb_valid.reshape(B, M * nao)                      # (B, Mnao)
+
+    pair_valid = orb_valid[:, :, None] * orb_valid[:, None, :]
+    HK = HK * pair_valid[:, None]
+    SK = SK * pair_valid[:, None]
+    diag_pad = (1.0 - orb_valid)[:, None, :]                        # (B, 1, Mnao)
+    idx = jnp.arange(M * nao)
+    SK = SK.at[:, :, idx, idx].add(diag_pad.astype(SK.dtype))
+    HK = HK.at[:, :, idx, idx].add((_PAD_ENERGY * diag_pad).astype(HK.dtype))
+
+    # Cholesky-reduced generalized eigh: L L^H = S;  A = L^-1 H L^-H
+    L = jnp.linalg.cholesky(SK)
+    Hh = jax.scipy.linalg.solve_triangular(L, HK, lower=True)
+    A = jnp.swapaxes(
+        jax.scipy.linalg.solve_triangular(
+            L, jnp.swapaxes(Hh, -1, -2).conj(), lower=True
+        ), -1, -2
+    ).conj()
+    A = 0.5 * (A + jnp.swapaxes(A, -1, -2).conj())
+    eigvals, eigvecs = jnp.linalg.eigh(A)  # ascending
+
+    # transform eigenvectors back: psi = L^-H v
+    psi = jax.scipy.linalg.solve_triangular(
+        jnp.swapaxes(L, -1, -2).conj(), eigvecs, lower=False)
+
+    # half-filled index per crystal
+    valence_table = jnp.asarray(basis.num_valence_table, dtype)
+    val_per_node = valence_table[graph.z] * graph.node_mask
+    crystal_valence = jax.ops.segment_sum(val_per_node, graph.batch, num_segments=B)
+    half = jnp.ceil(crystal_valence / 2.0).astype(jnp.int32)       # (B,)
+
+    gap = (
+        jnp.min(jnp.take_along_axis(eigvals, half[:, None, None], axis=2), axis=1)
+        - jnp.max(jnp.take_along_axis(eigvals, half[:, None, None] - 1, axis=2), axis=1)
+    )[:, 0]
+
+    # static band window [half - w, half + w)
+    w = int(num_bands)
+    start = jnp.clip(half - w, 0, M * nao - 2 * w)
+
+    def take_window(e_b, v_b, s_b):
+        e_w = jax.lax.dynamic_slice_in_dim(e_b, s_b, 2 * w, axis=1)
+        v_w = jax.lax.dynamic_slice_in_dim(v_b, s_b, 2 * w, axis=2)
+        return e_w, v_w
+
+    band, wfn = jax.vmap(take_window)(eigvals, psi, start)
+    wfn = jnp.swapaxes(wfn, -1, -2)  # (B, nk, 2w, Mnao)
+    return band, wfn, gap

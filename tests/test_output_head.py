@@ -1,0 +1,210 @@
+"""Output head tests: merge-matrix algebra, Hermiticity, masks, equivariance,
+and band-structure parity against a straightforward numpy reference solver."""
+
+import jax
+import numpy as np
+import pytest
+
+from hamgnn_tpu.data.graph import pad_and_batch
+from hamgnn_tpu.e3.irreps import Irreps
+from hamgnn_tpu.e3.wigner import irreps_D, wigner_D
+from hamgnn_tpu.models.basis import get_basis_set, hamiltonian_irreps
+from hamgnn_tpu.models.output import (
+    HamGNNPlusPlusOut,
+    _decompose_matrix,
+    _merge_reorder_matrix,
+)
+from hamgnn_tpu.models.representation import HamGNNConvE3
+from hamgnn_tpu.physics.band import band_energies_batched
+from hamgnn_tpu.physics.kpoints import random_k_cartesian
+
+from util_fixtures import add_random_hamiltonian_targets, make_crystal
+
+FEAT = "8x0e+8x0o+6x1o+4x1e+4x2e+2x2o+1x3o+1x3e+1x4e"
+SH = "0e + 1o + 2e + 3o + 4e"
+
+
+def rand_rot(rng):
+    a = rng.normal(size=(3, 3))
+    q, _ = np.linalg.qr(a)
+    if np.linalg.det(q) < 0:
+        q[:, 0] = -q[:, 0]
+    return q
+
+
+def dft_order_D(basis, R):
+    """Representation matrix of R on DFT-ordered orbitals: P D_internal P^T."""
+    blocks = []
+    for _, ir in basis.orbital_irreps:
+        blocks.append(wigner_D(ir.l, R))
+    n = basis.nao_max
+    D = np.zeros((n, n))
+    ofs = 0
+    for b in blocks:
+        d = b.shape[0]
+        D[ofs : ofs + d, ofs : ofs + d] = b
+        ofs += d
+    if basis.index_change is not None:
+        D = D[basis.index_change[:, None], basis.index_change[None, :]]
+    if basis.minus_index is not None:
+        s = np.ones(n)
+        s[basis.minus_index] = -1
+        D = D * s[:, None] * s[None, :]
+    return D
+
+
+class TestMergeMatrix:
+    @pytest.mark.parametrize("ham_type,nao", [("openmx", 14), ("openmx", 26),
+                                              ("siesta", 13), ("abacus", 27)])
+    def test_orthogonal(self, ham_type, nao):
+        M = _merge_reorder_matrix(ham_type, nao)
+        assert M.shape == (nao * nao, nao * nao)
+        np.testing.assert_allclose(M @ M.T, np.eye(nao * nao), atol=1e-10)
+
+    def test_roundtrip(self):
+        M = _merge_reorder_matrix("openmx", 14)
+        Minv = _decompose_matrix("openmx", 14)
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(5, 14 * 14))
+        np.testing.assert_allclose((x @ Minv) @ M, x, atol=1e-10)
+
+    def test_merge_equivariance(self):
+        """components rotated by ham-irreps D -> block conjugated by orbital D."""
+        basis = get_basis_set("openmx", 14)
+        irr = hamiltonian_irreps(basis)
+        M = _merge_reorder_matrix("openmx", 14)
+        rng = np.random.default_rng(1)
+        R = rand_rot(rng)
+        Dh = irreps_D(irr, R)
+        Do = dft_order_D(basis, R)
+        x = rng.normal(size=(3, irr.dim))
+        blk = (x @ M).reshape(3, 14, 14)
+        blk_rot = ((x @ Dh.T) @ M).reshape(3, 14, 14)
+        want = np.einsum("pi,bij,qj->bpq", Do, blk, Do)
+        np.testing.assert_allclose(blk_rot, want, atol=1e-8)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(7)
+    crystals = [
+        add_random_hamiltonian_targets(rng, make_crystal(rng, n_atoms=2, species=(1, 6))),
+        add_random_hamiltonian_targets(rng, make_crystal(rng, n_atoms=3, species=(6, 14))),
+    ]
+    graph = pad_and_batch(crystals, bucket_multiple=8)
+    rep = HamGNNConvE3(
+        num_types=20, irreps_edge_sh=SH, irreps_node_features=FEAT,
+        num_layers=1, num_radial=8, cutoff=4.0, radial_mlp=(16, 16))
+    out = HamGNNPlusPlusOut(
+        irreps_in_node=FEAT, irreps_in_edge=FEAT, nao_max=14, ham_type="openmx",
+        add_H0=True, zero_point_shift=False)
+    key = jax.random.PRNGKey(0)
+    p_rep = rep.init(key, graph)
+    feats = rep.apply(p_rep, graph)
+    p_out = out.init(key, graph, feats)
+    res = out.apply(p_out, graph, feats)
+    return graph, rep, out, p_rep, p_out, feats, res
+
+
+class TestOutputHead:
+    def test_shapes_and_finite(self, setup):
+        graph, *_, res = setup[0], *setup[1:]
+        res = setup[6]
+        graph = setup[0]
+        assert res["hamiltonian_on"].shape == (graph.num_nodes, 196)
+        assert res["hamiltonian_off"].shape == (graph.num_edges, 196)
+        assert np.isfinite(np.asarray(res["hamiltonian_on"])).all()
+        assert float(res["sparsity_ratio"]) > 1.0
+
+    def test_hermiticity(self, setup):
+        graph, res = setup[0], setup[6]
+        h_on = np.asarray(res["hamiltonian_on"]).reshape(-1, 14, 14)
+        np.testing.assert_allclose(h_on, h_on.transpose(0, 2, 1), atol=1e-5)
+        h_off = np.asarray(res["hamiltonian_off"]).reshape(-1, 14, 14)
+        inv = np.asarray(graph.inv_edge_idx)
+        mask = np.asarray(graph.edge_mask)
+        np.testing.assert_allclose(
+            h_off[mask], h_off[inv][mask].transpose(0, 2, 1), atol=1e-5)
+
+    def test_orbital_mask(self, setup):
+        graph, res = setup[0], setup[6]
+        basis = get_basis_set("openmx", 14)
+        table = basis.orbital_mask_table
+        h_on = np.asarray(res["hamiltonian_on"]).reshape(-1, 14, 14)
+        z = np.asarray(graph.z)
+        for i in range(h_on.shape[0]):
+            valid = table[z[i]] > 0
+            assert np.abs(h_on[i][~valid][:, :]).max() < 1e-6
+            assert np.abs(h_on[i][:, ~valid]).max() < 1e-6
+
+    def test_full_pipeline_equivariance(self, setup):
+        graph, rep, out, p_rep, p_out, feats, res = setup
+        rng = np.random.default_rng(3)
+        R = rand_rot(rng)
+        Rf = R.astype(np.float32)
+        rot_graph = graph.replace(
+            pos=graph.pos @ Rf.T, nbr_shift=graph.nbr_shift @ Rf.T,
+            cell=graph.cell @ Rf.T)
+        feats_rot = rep.apply(p_rep, rot_graph)
+        res_rot = out.apply(p_out, rot_graph, feats_rot)
+
+        basis = get_basis_set("openmx", 14)
+        Do = dft_order_D(basis, R)
+        h = np.asarray(res["hamiltonian_on"]).reshape(-1, 14, 14)
+        h_rot = np.asarray(res_rot["hamiltonian_on"]).reshape(-1, 14, 14)
+        want = np.einsum("pi,bij,qj->bpq", Do, h, Do)
+        np.testing.assert_allclose(h_rot, want, atol=5e-4)
+
+
+class TestBandStructure:
+    def test_matches_numpy_reference(self):
+        """Padded batched TPU solver == per-crystal compact scipy solve."""
+        rng = np.random.default_rng(11)
+        c = add_random_hamiltonian_targets(rng, make_crystal(rng, n_atoms=3, species=(6, 14)))
+        # make overlap strongly PD: S_off small
+        graph = pad_and_batch([c], bucket_multiple=8)
+        basis = get_basis_set("openmx", 14)
+        nk = 4
+        k_cart = random_k_cartesian(rng, nk, np.asarray(c["cell"][0]))
+        k_vecs = np.asarray(k_cart, np.float32)[None]
+
+        num_bands = 3
+        band, wfn, gap = band_energies_batched(
+            graph, graph.Hon, graph.Hoff, graph.Son, graph.Soff,
+            k_vecs, basis, num_bands=num_bands, max_atoms=3)
+        band = np.asarray(band)
+
+        # numpy reference (compact, follows the torch implementation)
+        z = c["z"]
+        nao = 14
+        n = len(z)
+        table = basis.orbital_mask_table
+        valid = np.concatenate([table[zz] > 0 for zz in z])
+        Hon = c["Hon"].reshape(n, nao, nao)
+        Hoff = c["Hoff"].reshape(-1, nao, nao)
+        Son = c["Son"].reshape(n, nao, nao)
+        Soff = c["Soff"].reshape(-1, nao, nao)
+        src, dst = c["edge_index"]
+        evs = []
+        import scipy.linalg
+
+        for k in range(nk):
+            HK = np.zeros((n, n, nao, nao), complex)
+            SK = np.zeros((n, n, nao, nao), complex)
+            for i in range(n):
+                HK[i, i] += Hon[i]
+                SK[i, i] += Son[i]
+            for e in range(src.shape[0]):
+                ph = np.exp(2j * np.pi * np.dot(k_cart[k], c["nbr_shift"][e]))
+                HK[src[e], dst[e]] += ph * Hoff[e]
+                SK[src[e], dst[e]] += ph * Soff[e]
+            HKf = HK.transpose(0, 2, 1, 3).reshape(n * nao, n * nao)[valid][:, valid]
+            SKf = SK.transpose(0, 2, 1, 3).reshape(n * nao, n * nao)[valid][:, valid]
+            ev = scipy.linalg.eigh(HKf, SKf, eigvals_only=True)
+            evs.append(ev)
+        evs = np.stack(evs)  # (nk, norb)
+
+        half = int(np.ceil(sum(basis.num_valence[int(zz)] for zz in z) / 2))
+        start = max(0, half - num_bands)
+        want = evs[:, start : start + 2 * num_bands]
+        np.testing.assert_allclose(band[0], want, atol=2e-3, rtol=1e-4)

@@ -67,7 +67,8 @@ def add_random_hamiltonian_targets(rng, crystal, nao_max=14, herm=True):
         inv = crystal["inv_edge_idx"]
         Hoff = 0.5 * (Hoff + Hoff[inv].transpose(0, 2, 1))
     Son = np.stack([np.eye(nao_max)] * n)
-    Soff = 0.1 * rng.normal(size=(e, nao_max, nao_max))
+    # keep overlap well-conditioned (physical S decays fast off-site)
+    Soff = (0.05 / max(e, 1)) * rng.normal(size=(e, nao_max, nao_max))
     if herm:
         Soff = 0.5 * (Soff + Soff[inv].transpose(0, 2, 1))
 
