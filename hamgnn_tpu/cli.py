@@ -1,0 +1,174 @@
+"""Command-line entry point: ``hamgnn-tpu --config config.yaml``.
+
+Equivalent of the reference's ``HamGNN2.0`` console script
+(/root/reference/hamgnn/main.py:546-579): load YAML-over-defaults config, seed
+(666), build dataset + model, dispatch fit / test, save predictions
+(prediction_hamiltonian.npy / target_hamiltonian.npy, Model.py:541-567).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .models.model import HamGNNModel
+from .models.output import HamGNNPlusPlusOut, concatenate_by_crystal
+from .models.representation import HamGNNConvE3
+from .train.config import config_to_dict, load_config
+
+
+def build_model(config) -> HamGNNModel:
+    """Construct representation + output modules from a reference-schema config
+    (mirrors main.py:178-263)."""
+    pre = config.representation_nets.HamGNN_pre
+    out = config.output_nets.HamGNN_out
+
+    rep = HamGNNConvE3(
+        num_types=pre.num_types,
+        irreps_edge_sh=pre.irreps_edge_sh,
+        irreps_node_features=pre.irreps_node_features,
+        num_layers=pre.num_layers,
+        num_radial=pre.num_radial,
+        rbf_func=pre.rbf_func.lower(),
+        cutoff=pre.cutoff,
+        radial_mlp=tuple(pre.radial_MLP),
+        use_corr_prod=pre.get("use_corr_prod", False),
+        correlation=pre.get("correlation", 2),
+        num_hidden_features=pre.get("num_hidden_features", 16),
+        use_kan=pre.get("use_kan", False),
+        lite_mode=pre.get("lite_mode", False),
+        apply_charge_doping=pre.get("apply_charge_doping", False),
+        num_charge_attr_feas=pre.get("num_charge_attr_feas", 8),
+        use_gradient_checkpointing=(
+            pre.get("use_gradient_checkpointing", False)
+            or config.setup.get("use_gradient_checkpointing", False)),
+    )
+
+    soc = out.get("soc_switch", False)
+    if soc:
+        from .models.soc import HamGNNSOCOut
+
+        head = HamGNNSOCOut(
+            irreps_in_node=pre.irreps_node_features,
+            irreps_in_edge=pre.irreps_node_features,
+            nao_max=out.nao_max,
+            ham_type=out.ham_type.lower(),
+            soc_basis=("su2" if out.ham_type.lower() != "openmx"
+                       else out.get("soc_basis", "so3")),
+            add_H0=out.add_H0,
+            add_H_nonsoc=out.get("add_H_nonsoc", False),
+            symmetrize=out.symmetrize,
+            zero_point_shift=out.get("zero_point_shift", True),
+            nonlinearity_type=out.get("nonlinearity_type", "gate"),
+        )
+    else:
+        head = HamGNNPlusPlusOut(
+            irreps_in_node=pre.irreps_node_features,
+            irreps_in_edge=pre.irreps_node_features,
+            nao_max=out.nao_max,
+            ham_type=out.ham_type.lower(),
+            ham_only=out.ham_only,
+            symmetrize=out.symmetrize,
+            add_H0=out.add_H0,
+            zero_point_shift=out.get("zero_point_shift", True),
+            nonlinearity_type=out.get("nonlinearity_type", "gate"),
+            calculate_band_energy=out.get("calculate_band_energy", False),
+            num_k=out.get("num_k", 5),
+            band_num_control=out.get("band_num_control", 8) or 8,
+        )
+    return HamGNNModel(representation=rep, output=head)
+
+
+def prepare_dataset(config):
+    from .data.dataset import GraphDataModule, load_graph_lmdb, load_graph_npz
+
+    path = config.dataset_params.graph_data_path
+    if not os.path.isfile(path) and not path.lower().endswith(".lmdb"):
+        path = os.path.join(path, "graph_data.npz")
+    if path.lower().endswith(".lmdb"):
+        graphs = load_graph_lmdb(path)
+    else:
+        graphs = load_graph_npz(path)
+    return GraphDataModule(
+        graphs,
+        batch_size=config.dataset_params.batch_size,
+        train_ratio=config.dataset_params.train_ratio,
+        val_ratio=config.dataset_params.val_ratio,
+        test_ratio=config.dataset_params.test_ratio,
+        split_file=config.dataset_params.split_file,
+        test_mode=(config.setup.stage == "test"),
+    )
+
+
+def train_and_evaluate(config) -> None:
+    from .train.trainer import Trainer
+
+    data = prepare_dataset(config)
+    model = build_model(config)
+    trainer = Trainer(
+        model,
+        losses=[config_to_dict(l) for l in config.losses_metrics.losses],
+        metrics=[config_to_dict(m) for m in config.losses_metrics.metrics],
+        lr=config.optim_params.lr,
+        lr_decay=config.optim_params.lr_decay,
+        lr_patience=config.optim_params.lr_patience,
+        gradient_clip_val=config.optim_params.gradient_clip_val,
+        stop_patience=config.optim_params.stop_patience,
+        min_epochs=config.optim_params.min_epochs,
+        max_epochs=config.optim_params.max_epochs,
+        train_dir=config.profiler_params.train_dir,
+    )
+
+    example = next(iter(data.test_batches() if config.setup.stage == "test"
+                        else data.train_batches()))
+    trainer.init_params(example)
+
+    ckpt_path = config.setup.checkpoint_path
+    if config.setup.stage == "test" or config.setup.get("load_from_checkpoint"):
+        if ckpt_path and os.path.exists(ckpt_path):
+            trainer.load_checkpoint(ckpt_path)
+
+    if config.setup.stage == "fit":
+        trainer.fit(data)
+        # final test pass
+        _, logs, preds_all = trainer.eval_epoch(data.test_batches(), collect=True)
+        _save_predictions(config, preds_all)
+        print("test metrics:", logs)
+    else:
+        _, logs, preds_all = trainer.eval_epoch(data.test_batches(), collect=True)
+        _save_predictions(config, preds_all)
+        print("test metrics:", logs)
+
+
+def _save_predictions(config, preds_all) -> None:
+    """Save prediction/target .npy in the reference's interleaved layout."""
+    out_dir = config.profiler_params.train_dir
+    os.makedirs(out_dir, exist_ok=True)
+    preds, targets = [], []
+    for g, p in preds_all:
+        if "hamiltonian_on" not in p:
+            continue
+        preds.append(concatenate_by_crystal(g, p["hamiltonian_on"], p["hamiltonian_off"]))
+        targets.append(concatenate_by_crystal(g, np.asarray(g.Hon), np.asarray(g.Hoff)))
+    if preds:
+        np.save(os.path.join(out_dir, "prediction_hamiltonian.npy"),
+                np.concatenate(preds, axis=0))
+        np.save(os.path.join(out_dir, "target_hamiltonian.npy"),
+                np.concatenate(targets, axis=0))
+
+
+def main(argv: Optional[list] = None) -> None:
+    parser = argparse.ArgumentParser(description="HamGNN-TPU")
+    parser.add_argument("--config", "-c", default="config_default.yaml")
+    args, _ = parser.parse_known_args(argv)
+    config = load_config(args.config)
+    np.random.seed(666)
+    train_and_evaluate(config)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,169 @@
+"""Dataset loading, splitting, and bucketed batching.
+
+Covers the reference's data layer (/root/reference/hamgnn/data/graph_data.py):
+  * ``graph_data.npz`` (pickled dict of PyG Data; loaded via the pickle shim)
+    and LMDB stores (``graph_{i}`` keys, count in ``num_graphs``);
+  * deterministic split with numpy RandomState(seed=42) shuffling and rounded
+    ratios (graph_data.py:373-382) for split parity with the reference, plus
+    ``split_file`` save/load;
+  * a bucketed batcher that pads each batch of crystals to quantized
+    node/edge bucket sizes so jit recompiles stay bounded (TPU static shapes).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .graph import Graph, pad_and_batch
+
+_FIELDS = (
+    "z", "pos", "cell", "edge_index", "inv_edge_idx", "nbr_shift", "cell_shift",
+    "Hon", "Hoff", "Hon0", "Hoff0", "iHon", "iHoff", "iHon0", "iHoff0",
+    "Son", "Soff", "Lon", "Loff", "doping_charge",
+)
+
+
+def _to_numpy(v):
+    if hasattr(v, "detach"):  # torch tensor
+        return v.detach().cpu().numpy()
+    return np.asarray(v)
+
+
+def _crystal_dict(obj) -> Dict[str, np.ndarray]:
+    """Normalize a loaded graph object (PyG Data / shim / dict) to numpy dict."""
+    if isinstance(obj, dict):
+        items = obj.items()
+    elif hasattr(obj, "to_dict"):
+        items = obj.to_dict().items()
+    else:
+        items = ((k, getattr(obj, k)) for k in _FIELDS if hasattr(obj, k))
+    out = {}
+    for k, v in items:
+        if k in _FIELDS:
+            out[k] = _to_numpy(v)
+    return out
+
+
+def load_graph_npz(path: str) -> List[Dict[str, np.ndarray]]:
+    """Load a reference-format graph_data.npz into a list of crystal dicts."""
+    from ..interfaces.pyg_shim import install_shim
+
+    install_shim()
+    with np.load(path, allow_pickle=True) as f:
+        graphs = f["graph"].item()
+    keys = sorted(graphs.keys(), key=lambda k: (isinstance(k, str), k))
+    return [_crystal_dict(graphs[k]) for k in keys]
+
+
+def load_graph_lmdb(path: str, indices: Optional[Sequence[int]] = None
+                    ) -> List[Dict[str, np.ndarray]]:
+    """Load graphs from the reference's LMDB layout (requires lmdb)."""
+    import lmdb  # optional dependency; gated like the reference
+
+    from ..interfaces.pyg_shim import install_shim
+
+    install_shim()
+    env = lmdb.open(path, readonly=True, lock=False, readahead=False, meminit=False)
+    out = []
+    with env.begin() as txn:
+        n = int(txn.get(b"num_graphs").decode())
+        idxs = list(indices) if indices is not None else range(n)
+        for i in idxs:
+            out.append(_crystal_dict(pickle.loads(txn.get(f"graph_{i}".encode()))))
+    env.close()
+    return out
+
+
+def save_graph_npz(path: str, crystals: Sequence[Dict[str, np.ndarray]]) -> None:
+    """Write reference-compatible graph_data.npz (via shim Data objects)."""
+    from ..interfaces.pyg_shim import Data, install_shim
+
+    install_shim()
+    graphs = {i: Data(**{k: v for k, v in c.items()}) for i, c in enumerate(crystals)}
+    np.savez(path, graph=graphs)
+
+
+def reference_split(
+    n: int,
+    train_ratio: float = 0.6,
+    val_ratio: float = 0.2,
+    test_ratio: float = 0.2,
+    split_file: Optional[str] = None,
+) -> Tuple[List[int], List[int], List[int]]:
+    """Seed-42 split identical to the reference (graph_data.py:362-391)."""
+    if split_file is not None and os.path.exists(split_file):
+        data = np.load(split_file)
+        return (data["train_idx"].tolist(), data["val_idx"].tolist(),
+                data["test_idx"].tolist())
+    rs = np.random.RandomState(seed=42)
+    indices = list(range(n))
+    rs.shuffle(indices)
+    num_train = round(train_ratio * n)
+    num_val = round(val_ratio * n)
+    train = indices[:num_train]
+    val = indices[num_train : num_train + num_val]
+    test = indices[num_train + num_val :]
+    if split_file is not None:
+        np.savez(split_file, train_idx=np.array(train), val_idx=np.array(val),
+                 test_idx=np.array(test))
+    return train, val, test
+
+
+def _bucket(x: int, quantum: int) -> int:
+    return max(quantum, ((x + quantum - 1) // quantum) * quantum)
+
+
+class GraphDataModule:
+    """Split + batching front-end (reference ``graph_data_module`` equivalent)."""
+
+    def __init__(
+        self,
+        graphs: Sequence[Dict[str, np.ndarray]],
+        batch_size: int = 1,
+        train_ratio: float = 0.6,
+        val_ratio: float = 0.2,
+        test_ratio: float = 0.2,
+        split_file: Optional[str] = None,
+        test_mode: bool = False,
+        node_quantum: int = 16,
+        edge_quantum: int = 256,
+    ):
+        self.graphs = list(graphs)
+        self.batch_size = batch_size
+        self.node_quantum = node_quantum
+        self.edge_quantum = edge_quantum
+        n = len(self.graphs)
+        if test_mode:
+            self.train_idx, self.val_idx = [], []
+            self.test_idx = list(range(n))
+        else:
+            self.train_idx, self.val_idx, self.test_idx = reference_split(
+                n, train_ratio, val_ratio, test_ratio, split_file)
+
+    def _batches(self, indices: Sequence[int], shuffle: bool, rng=None
+                 ) -> Iterator[Graph]:
+        order = list(indices)
+        if shuffle:
+            (rng or np.random.default_rng()).shuffle(order)
+        for i in range(0, len(order), self.batch_size):
+            chunk = [self.graphs[j] for j in order[i : i + self.batch_size]]
+            n_tot = sum(c["z"].shape[0] for c in chunk)
+            e_tot = sum(c["edge_index"].shape[1] for c in chunk)
+            yield pad_and_batch(
+                chunk,
+                node_bucket=_bucket(n_tot, self.node_quantum),
+                edge_bucket=_bucket(e_tot, self.edge_quantum),
+            )
+
+    def train_batches(self, rng=None) -> Iterator[Graph]:
+        return self._batches(self.train_idx, shuffle=True, rng=rng)
+
+    def val_batches(self) -> Iterator[Graph]:
+        return self._batches(self.val_idx, shuffle=False)
+
+    def test_batches(self) -> Iterator[Graph]:
+        return self._batches(self.test_idx, shuffle=False)

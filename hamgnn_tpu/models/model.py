@@ -1,0 +1,104 @@
+"""Combined model: representation network + output head + loss computation.
+
+Equivalent of the reference's LightningModule wrapper
+(/root/reference/hamgnn/models/Model.py:23-567) minus the framework glue: a
+flax module for the forward pass plus a pure ``compute_losses`` used by the
+jitted train/eval steps.  Predictions are exposed both as padded per-row arrays
+and under the reference's names ("hamiltonian", "band_energy", ...) where the
+row sets coincide (losses are masked means, so layout differences don't matter).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as fnn
+
+from ..data.graph import Graph
+from ..train.losses import get_metric
+from .output import HamGNNPlusPlusOut
+from .representation import HamGNNConvE3
+
+
+class HamGNNModel(fnn.Module):
+    representation: HamGNNConvE3
+    output: HamGNNPlusPlusOut
+
+    def __call__(self, graph: Graph, k_vecs=None) -> Dict[str, jnp.ndarray]:
+        feats = self.representation(graph)
+        return self.output(graph, feats, k_vecs=k_vecs)
+
+
+def _stack_pred_target(name: str, preds: Dict, graph: Graph):
+    """Map a reference loss name to (pred rows, target rows, row mask)."""
+    nm = name.lower()
+    if nm == "hamiltonian":
+        pred = jnp.concatenate([preds["hamiltonian_on"], preds["hamiltonian_off"]], 0)
+        target = jnp.concatenate([graph.Hon, graph.Hoff], 0)
+        mask = jnp.concatenate([graph.node_mask, graph.edge_mask], 0)[:, None]
+        return pred, target, mask
+    if nm == "overlap":
+        pred = jnp.concatenate([preds["overlap_on"], preds["overlap_off"]], 0)
+        target = jnp.concatenate([graph.Son, graph.Soff], 0)
+        mask = jnp.concatenate([graph.node_mask, graph.edge_mask], 0)[:, None]
+        return pred, target, mask
+    if nm == "band_energy":
+        pred = preds["band_energy"]
+        target = preds["band_energy_ref"]
+        mask = jnp.ones(pred.shape[:1] + (1,) * (pred.ndim - 1), pred.dtype)
+        return pred, target, mask
+    if nm == "band_gap":
+        pred = preds["band_gap"]
+        target = preds["band_gap_ref"]
+        return pred, target, jnp.ones_like(pred)
+    if nm == "hamiltonian_real":
+        pred = jnp.concatenate([preds["hamiltonian_real_on"], preds["hamiltonian_real_off"]], 0)
+        target = jnp.concatenate([graph.Hon, graph.Hoff], 0)
+        mask = jnp.concatenate([graph.node_mask, graph.edge_mask], 0)[:, None]
+        return pred, target, mask
+    if nm == "hamiltonian_imag":
+        pred = jnp.concatenate([preds["hamiltonian_imag_on"], preds["hamiltonian_imag_off"]], 0)
+        target = jnp.concatenate([graph.iHon, graph.iHoff], 0)
+        mask = jnp.concatenate([graph.node_mask, graph.edge_mask], 0)[:, None]
+        return pred, target, mask
+    raise KeyError(f"unknown loss target {name}")
+
+
+def compute_losses(
+    preds: Dict[str, jnp.ndarray],
+    graph: Graph,
+    losses: Sequence[Dict[str, Any]],
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Weighted total loss + per-component logs.
+
+    ``losses``: list of {"metric": str, "prediction": str, "target": str,
+    "loss_weight": float} — the reference's YAML loss spec.  Hamiltonian-family
+    components are scaled by the sparsity ratio (Model.py:159-162).
+    """
+    total = jnp.asarray(0.0, jnp.float32)
+    logs = {}
+    for spec in losses:
+        fn = get_metric(spec["metric"])
+        pname = spec["prediction"].lower()
+        pred, target, mask = _stack_pred_target(pname, preds, graph)
+        value = fn(pred, target, mask)
+        if pname in ("hamiltonian", "hamiltonian_real", "hamiltonian_imag") and \
+                "sparsity_ratio" in preds:
+            value = value * preds["sparsity_ratio"]
+        logs[f"{spec['metric']}_{pname}"] = value
+        total = total + spec.get("loss_weight", 1.0) * value
+    return total, logs
+
+
+def compute_metrics(preds, graph, metrics: Sequence[Dict[str, Any]]):
+    out = {}
+    for spec in metrics:
+        fn = get_metric(spec["metric"])
+        pname = spec["prediction"].lower()
+        pred, target, mask = _stack_pred_target(pname, preds, graph)
+        value = fn(pred, target, mask)
+        if pname.startswith("hamiltonian") and "sparsity_ratio" in preds:
+            value = value * preds["sparsity_ratio"]
+        out[f"{spec['metric']}_{pname}"] = value
+    return out

@@ -1,0 +1,245 @@
+"""Training harness: jitted steps, plateau LR schedule, early stopping, orbax.
+
+Replaces the reference's PyTorch-Lightning wiring
+(/root/reference/hamgnn/main.py:266-543, models/Model.py) with a TPU-native
+loop: one jit-compiled train step per (node,edge)-bucket shape, AdamW(amsgrad)
+via optax, host-side ReduceLROnPlateau / EarlyStopping with the reference's
+hyperparameters (Model.py:415-448: factor=lr_decay, patience, threshold 1e-6,
+cooldown patience//2, min_lr 1e-6), and orbax checkpointing of params +
+optimizer state keyed on validation total loss.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import json
+import os
+import time
+from typing import Any, Callable, Dict, Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.graph import Graph
+from ..models.model import HamGNNModel, compute_losses, compute_metrics
+
+
+@dataclasses.dataclass
+class PlateauScheduler:
+    """ReduceLROnPlateau with cooldown, matching torch semantics."""
+
+    lr: float
+    factor: float = 0.5
+    patience: int = 5
+    threshold: float = 1e-6
+    cooldown: int = 2
+    min_lr: float = 1e-6
+
+    best: float = float("inf")
+    num_bad: int = 0
+    cooldown_counter: int = 0
+
+    def step(self, metric: float) -> float:
+        if metric < self.best - self.threshold:
+            self.best = metric
+            self.num_bad = 0
+        elif self.cooldown_counter > 0:
+            self.cooldown_counter -= 1
+            self.num_bad = 0
+        else:
+            self.num_bad += 1
+            if self.num_bad > self.patience:
+                self.lr = max(self.lr * self.factor, self.min_lr)
+                self.cooldown_counter = self.cooldown
+                self.num_bad = 0
+        return self.lr
+
+
+@dataclasses.dataclass
+class EarlyStopping:
+    patience: int = 30
+    threshold: float = 0.0
+    best: float = float("inf")
+    num_bad: int = 0
+
+    def step(self, metric: float) -> bool:
+        if metric < self.best - self.threshold:
+            self.best = metric
+            self.num_bad = 0
+            return False
+        self.num_bad += 1
+        return self.num_bad > self.patience
+
+
+class Trainer:
+    """Single-host trainer (multi-chip variants in hamgnn_tpu.parallel)."""
+
+    def __init__(
+        self,
+        model: HamGNNModel,
+        losses: List[Dict[str, Any]],
+        metrics: List[Dict[str, Any]],
+        lr: float = 0.01,
+        lr_decay: float = 0.5,
+        lr_patience: int = 5,
+        gradient_clip_val: float = 0.0,
+        stop_patience: int = 30,
+        min_epochs: int = 100,
+        max_epochs: int = 3000,
+        train_dir: str = "./train_out",
+        dtype=jnp.float32,
+    ):
+        self.model = model
+        self.losses = losses
+        self.metrics = metrics
+        self.sched = PlateauScheduler(
+            lr=lr, factor=lr_decay, patience=lr_patience,
+            cooldown=lr_patience // 2)
+        self.stopper = EarlyStopping(patience=stop_patience)
+        self.min_epochs = min_epochs
+        self.max_epochs = max_epochs
+        self.train_dir = train_dir
+        self.gradient_clip_val = gradient_clip_val
+        os.makedirs(train_dir, exist_ok=True)
+        self._log_f = open(os.path.join(train_dir, "metrics.jsonl"), "a")
+
+        # AdamW(amsgrad, weight_decay=0) per the reference (Model.py:424-431);
+        # unit learning rate here, the host-driven plateau LR scales updates in
+        # the jitted step so LR changes never trigger recompilation.
+        base = [optax.clip_by_global_norm(gradient_clip_val)] if gradient_clip_val > 0 else []
+        self.tx = optax.chain(*base, optax.amsgrad(learning_rate=1.0))
+
+        self._train_step_cache: Dict[Tuple, Callable] = {}
+        self._eval_step_cache: Dict[Tuple, Callable] = {}
+        self.params = None
+        self.opt_state = None
+
+    # --- setup ---------------------------------------------------------
+
+    def init_params(self, example: Graph, seed: int = 666):
+        self.params = self.model.init(jax.random.PRNGKey(seed), example)
+        self.opt_state = self.tx.init(self.params)
+        return self.params
+
+    # --- jitted steps (cached per bucket shape) ------------------------
+
+    def _shape_key(self, graph: Graph) -> Tuple:
+        return (graph.num_nodes, graph.num_edges, graph.num_graphs)
+
+    def _get_train_step(self, graph: Graph):
+        key = self._shape_key(graph)
+        if key not in self._train_step_cache:
+
+            @jax.jit
+            def step(params, opt_state, g: Graph, lr):
+                def loss_fn(p):
+                    preds = self.model.apply(p, g)
+                    total, logs = compute_losses(preds, g, self.losses)
+                    return total, logs
+
+                (total, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+                updates, opt_state2 = self.tx.update(grads, opt_state, params)
+                updates = jax.tree.map(lambda u: u * lr, updates)
+                params2 = optax.apply_updates(params, updates)
+                return params2, opt_state2, total, logs
+
+            self._train_step_cache[key] = step
+        return self._train_step_cache[key]
+
+    def _get_eval_step(self, graph: Graph):
+        key = self._shape_key(graph)
+        if key not in self._eval_step_cache:
+
+            @jax.jit
+            def step(params, g: Graph):
+                preds = self.model.apply(params, g)
+                total, logs = compute_losses(preds, g, self.losses)
+                mets = compute_metrics(preds, g, self.metrics)
+                return total, logs, mets, preds
+
+            self._eval_step_cache[key] = step
+        return self._eval_step_cache[key]
+
+    # --- loops ---------------------------------------------------------
+
+    def train_epoch(self, batches: Iterable[Graph]) -> float:
+        tot, n = 0.0, 0
+        lr = jnp.asarray(self.sched.lr, jnp.float32)
+        for g in batches:
+            step = self._get_train_step(g)
+            self.params, self.opt_state, loss, _ = step(
+                self.params, self.opt_state, g, lr)
+            tot += float(loss)
+            n += 1
+        return tot / max(n, 1)
+
+    def eval_epoch(self, batches: Iterable[Graph], collect: bool = False):
+        tot, n = 0.0, 0
+        agg: Dict[str, float] = {}
+        preds_all = []
+        for g in batches:
+            step = self._get_eval_step(g)
+            loss, logs, mets, preds = step(self.params, g)
+            tot += float(loss)
+            n += 1
+            for k, v in {**logs, **mets}.items():
+                agg[k] = agg.get(k, 0.0) + float(v)
+            if collect:
+                preds_all.append((g, jax.tree.map(np.asarray, preds)))
+        agg = {k: v / max(n, 1) for k, v in agg.items()}
+        out = (tot / max(n, 1), agg)
+        return (*out, preds_all) if collect else out
+
+    def fit(self, data_module, max_epochs: Optional[int] = None, log_every: int = 1,
+            checkpoint: bool = True):
+        max_epochs = max_epochs or self.max_epochs
+        rng = np.random.default_rng(666)
+        best_val = float("inf")
+        for epoch in range(max_epochs):
+            t0 = time.time()
+            train_loss = self.train_epoch(data_module.train_batches(rng))
+            val_loss, val_logs = self.eval_epoch(data_module.val_batches())
+            lr = self.sched.step(val_loss)
+            record = {
+                "epoch": epoch,
+                "train_loss": train_loss,
+                "val_loss": val_loss,
+                "lr": lr,
+                "sec": time.time() - t0,
+                **{f"val/{k}": v for k, v in val_logs.items()},
+            }
+            self._log_f.write(json.dumps(record) + "\n")
+            self._log_f.flush()
+            if val_loss < best_val:
+                best_val = val_loss
+                if checkpoint:
+                    self.save_checkpoint(os.path.join(self.train_dir, "best"))
+            if epoch >= self.min_epochs and self.stopper.step(val_loss):
+                break
+        return best_val
+
+    # --- checkpointing -------------------------------------------------
+
+    def save_checkpoint(self, path: str):
+        import orbax.checkpoint as ocp
+
+        ckpt = {"params": self.params, "opt_state": self.opt_state,
+                "lr": self.sched.lr}
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(os.path.abspath(path), ckpt, force=True)
+        ckptr.wait_until_finished()
+
+    def load_checkpoint(self, path: str):
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        target = {"params": self.params, "opt_state": self.opt_state,
+                  "lr": self.sched.lr}
+        restored = ckptr.restore(os.path.abspath(path), target)
+        self.params = restored["params"]
+        self.opt_state = restored["opt_state"]
+        self.sched.lr = float(restored["lr"])
+        return self.params

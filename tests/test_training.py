@@ -1,0 +1,132 @@
+"""End-to-end training slice: data round-trip, config, trainer convergence.
+
+The TPU analog of the reference's operational acceptance ("loss goes down,
+predictions land near targets"): a tiny synthetic dataset with H0-shifted
+random Hermitian targets must overfit quickly.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from hamgnn_tpu.cli import build_model
+from hamgnn_tpu.data.dataset import (
+    GraphDataModule,
+    load_graph_npz,
+    reference_split,
+    save_graph_npz,
+)
+from hamgnn_tpu.train.config import load_config
+from hamgnn_tpu.train.trainer import Trainer
+
+from util_fixtures import add_random_hamiltonian_targets, make_crystal
+
+
+def _dataset(n=6, seed=0):
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(n):
+        c = make_crystal(rng, n_atoms=int(rng.integers(2, 4)), species=(1, 6))
+        c = add_random_hamiltonian_targets(rng, c, nao_max=14)
+        # make the learning problem easy: H = H0 exactly, net must learn -> 0
+        c["Hon0"] = c["Hon"].copy()
+        c["Hoff0"] = c["Hoff"].copy()
+        out.append(c)
+    return out
+
+
+class TestDataRoundtrip:
+    def test_npz_roundtrip(self, tmp_path):
+        crystals = _dataset(3)
+        path = str(tmp_path / "graph_data.npz")
+        save_graph_npz(path, crystals)
+        loaded = load_graph_npz(path)
+        assert len(loaded) == 3
+        np.testing.assert_allclose(loaded[0]["Hon"], crystals[0]["Hon"])
+        np.testing.assert_array_equal(loaded[1]["edge_index"], crystals[1]["edge_index"])
+
+    def test_reference_split_determinism(self):
+        tr1, va1, te1 = reference_split(10)
+        tr2, va2, te2 = reference_split(10)
+        assert tr1 == tr2 and va1 == va2 and te1 == te2
+        assert len(tr1) == 6 and len(va1) == 2 and len(te1) == 2
+        assert sorted(tr1 + va1 + te1) == list(range(10))
+
+
+class TestConfig:
+    def test_defaults(self):
+        cfg = load_config(None)
+        assert cfg.output_nets.HamGNN_out.nao_max == 26
+        assert cfg.losses_metrics.losses[0].loss_weight == 27.211
+
+    def test_yaml_merge(self, tmp_path):
+        p = tmp_path / "c.yaml"
+        p.write_text("output_nets:\n  HamGNN_out:\n    nao_max: 14\n")
+        cfg = load_config(str(p))
+        assert cfg.output_nets.HamGNN_out.nao_max == 14
+        assert cfg.output_nets.HamGNN_out.ham_type == "openmx"
+
+
+@pytest.mark.slow
+class TestTraining:
+    def test_overfit_tiny(self, tmp_path):
+        cfg = load_config(None, overrides={
+            "representation_nets": {"HamGNN_pre": {
+                "irreps_node_features": "8x0e+8x0o+6x1o+4x1e+4x2e+2x2o+1x3e+1x4e",
+                "irreps_edge_sh": "0e + 1o + 2e + 3o + 4e",
+                "num_layers": 1, "num_radial": 8, "cutoff": 4.0,
+                "radial_MLP": [16, 16], "num_types": 20,
+            }},
+            "output_nets": {"HamGNN_out": {
+                "nao_max": 14, "zero_point_shift": False}},
+            "optim_params": {"lr": 0.02, "min_epochs": 0, "max_epochs": 10},
+            "profiler_params": {"train_dir": str(tmp_path)},
+        })
+        model = build_model(cfg)
+        data = GraphDataModule(_dataset(4), batch_size=2, train_ratio=0.5,
+                               val_ratio=0.25, test_ratio=0.25,
+                               node_quantum=8, edge_quantum=128)
+        trainer = Trainer(
+            model,
+            losses=[{"metric": "mae", "prediction": "hamiltonian",
+                     "target": "hamiltonian", "loss_weight": 1.0}],
+            metrics=[{"metric": "mae", "prediction": "hamiltonian",
+                      "target": "hamiltonian"}],
+            lr=0.02, min_epochs=0, max_epochs=10, train_dir=str(tmp_path))
+        example = next(iter(data.train_batches()))
+        trainer.init_params(example)
+
+        first = trainer.eval_epoch(data.train_batches(np.random.default_rng(0)))[0]
+        for _ in range(40):
+            trainer.train_epoch(data.train_batches(np.random.default_rng(1)))
+        last = trainer.eval_epoch(data.train_batches(np.random.default_rng(0)))[0]
+        assert last < 0.5 * first, (first, last)
+
+    def test_checkpoint_roundtrip(self, tmp_path):
+        cfg = load_config(None, overrides={
+            "representation_nets": {"HamGNN_pre": {
+                "irreps_node_features": "4x0e+2x1o+1x2e",
+                "irreps_edge_sh": "0e + 1o + 2e",
+                "num_layers": 1, "num_radial": 4, "cutoff": 4.0,
+                "radial_MLP": [8], "num_types": 20,
+            }},
+            "output_nets": {"HamGNN_out": {"nao_max": 14, "zero_point_shift": False}},
+        })
+        model = build_model(cfg)
+        data = GraphDataModule(_dataset(2), batch_size=1, node_quantum=8,
+                               edge_quantum=128)
+        trainer = Trainer(model, losses=[{"metric": "mae", "prediction": "hamiltonian",
+                                          "target": "hamiltonian", "loss_weight": 1.0}],
+                          metrics=[], train_dir=str(tmp_path))
+        g = next(iter(data.test_batches()))
+        trainer.init_params(g)
+        trainer.save_checkpoint(str(tmp_path / "ck"))
+        import jax
+
+        before = jax.tree.map(np.asarray, trainer.params)
+        trainer.params = jax.tree.map(lambda x: x * 0, trainer.params)
+        trainer.load_checkpoint(str(tmp_path / "ck"))
+        after = jax.tree.map(np.asarray, trainer.params)
+        for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
+            np.testing.assert_allclose(a, b)

@@ -54,21 +54,32 @@ def make_crystal(rng, n_atoms=4, species=(6, 14), cell_size=6.0, cutoff=4.0):
     }
 
 
-def add_random_hamiltonian_targets(rng, crystal, nao_max=14, herm=True):
-    """Attach random Hermitian-consistent Hon/Hoff/H0/S targets."""
+def add_random_hamiltonian_targets(rng, crystal, nao_max=14, herm=True,
+                                   ham_type="openmx"):
+    """Attach random Hermitian-consistent Hon/Hoff/H0/S targets, zeroed outside
+    each species' valid orbitals (as the reference data generator does,
+    graph_data_gen.py:302-318)."""
+    from hamgnn_tpu.models.basis import get_basis_set
+
+    basis = get_basis_set(ham_type, nao_max)
+    table = basis.orbital_mask_table  # (99, nao)
     n = crystal["z"].shape[0]
     e = crystal["edge_index"].shape[1]
     nao2 = nao_max * nao_max
+    z = crystal["z"]
+    src, dst = crystal["edge_index"]
+    on_mask = table[z][:, :, None] * table[z][:, None, :]
+    off_mask = table[z[src]][:, :, None] * table[z[dst]][:, None, :]
 
-    Hon = rng.normal(size=(n, nao_max, nao_max))
+    Hon = rng.normal(size=(n, nao_max, nao_max)) * on_mask
     Hon = 0.5 * (Hon + Hon.transpose(0, 2, 1))
-    Hoff = rng.normal(size=(e, nao_max, nao_max))
+    Hoff = rng.normal(size=(e, nao_max, nao_max)) * off_mask
     if herm:
         inv = crystal["inv_edge_idx"]
         Hoff = 0.5 * (Hoff + Hoff[inv].transpose(0, 2, 1))
-    Son = np.stack([np.eye(nao_max)] * n)
+    Son = np.stack([np.eye(nao_max)] * n) * on_mask
     # keep overlap well-conditioned (physical S decays fast off-site)
-    Soff = (0.05 / max(e, 1)) * rng.normal(size=(e, nao_max, nao_max))
+    Soff = (0.05 / max(e, 1)) * rng.normal(size=(e, nao_max, nao_max)) * off_mask
     if herm:
         Soff = 0.5 * (Soff + Soff[inv].transpose(0, 2, 1))
 
