@@ -1,0 +1,106 @@
+"""Benchmark: full train-step throughput (edges/s) on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference repo publishes no benchmark numbers (BASELINE.md), so
+``vs_baseline`` is reported against the driver's north-star target of 5x a
+PyTorch-GPU-class tensor-product pipeline; we peg that target at 50k full
+train-step edges/s for this production-representative config (3 layers,
+lmax-4 features, lmax-4 edge SH, radial-MLP-weighted CG tensor products,
+Hamiltonian output head, AdamW update) — i.e. vs_baseline = value / 50_000.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+
+import numpy as np
+
+TARGET_EDGES_PER_S = 50_000.0
+
+
+def build_bench_case(n_atoms=48, cutoff=5.2):
+    from util_fixtures import add_random_hamiltonian_targets, make_crystal
+
+    from hamgnn_tpu.data.graph import pad_and_batch
+
+    rng = np.random.default_rng(0)
+    c = make_crystal(rng, n_atoms=n_atoms, species=(6, 14), cell_size=10.0,
+                     cutoff=cutoff)
+    c = add_random_hamiltonian_targets(rng, c, nao_max=19)
+    n_edges = c["edge_index"].shape[1]
+    graph = pad_and_batch(
+        [c],
+        node_bucket=((n_atoms + 15) // 16) * 16,
+        edge_bucket=((n_edges + 255) // 256) * 256,
+    )
+    return graph, n_edges
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from hamgnn_tpu.cli import build_model
+    from hamgnn_tpu.models.model import compute_losses
+    from hamgnn_tpu.train.config import load_config
+
+    cfg = load_config(None, overrides={
+        "representation_nets": {"HamGNN_pre": {
+            "irreps_node_features": "64x0e+32x0o+24x1o+12x1e+12x2e+6x2o+4x3o+4x3e+2x4e",
+            "irreps_edge_sh": "0e + 1o + 2e + 3o + 4e",
+            "num_layers": 3, "num_radial": 64, "cutoff": 6.0,
+            "radial_MLP": [64, 64], "num_types": 96,
+        }},
+        "output_nets": {"HamGNN_out": {"nao_max": 19, "zero_point_shift": False}},
+    })
+    model = build_model(cfg)
+    graph, n_edges = build_bench_case()
+
+    from hamgnn_tpu.train.trainer import init_params_on_cpu
+    params = init_params_on_cpu(model, graph, 0)
+    tx = optax.amsgrad(learning_rate=1.0)
+    opt_state = tx.init(params)
+    losses = [{"metric": "mae", "prediction": "hamiltonian",
+               "target": "hamiltonian", "loss_weight": 27.211}]
+
+    @jax.jit
+    def step(params, opt_state, g, lr):
+        def loss_fn(p):
+            preds = model.apply(p, g)
+            total, _ = compute_losses(preds, g, losses)
+            return total
+
+        total, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        updates = jax.tree.map(lambda u: u * lr, updates)
+        return optax.apply_updates(params, updates), opt_state2, total
+
+    lr = jnp.asarray(1e-3, jnp.float32)
+    # warmup / compile
+    params, opt_state, total = step(params, opt_state, graph, lr)
+    jax.block_until_ready(total)
+
+    n_iter = 20
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        params, opt_state, total = step(params, opt_state, graph, lr)
+    jax.block_until_ready(total)
+    dt = time.perf_counter() - t0
+
+    edges_per_s = n_edges * n_iter / dt
+    print(json.dumps({
+        "metric": "train_step_edges_per_s",
+        "value": round(edges_per_s, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(edges_per_s / TARGET_EDGES_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -107,15 +107,16 @@ class Gate(fnn.Module):
         out = out_s
         if irreps_gated.dim > 0:
             g = jnp.concatenate(out_g, axis=-1) if out_g else gates
-            # expand gates over the (2l+1) components of each gated channel
-            pieces = []
-            g_ofs = 0
+            # expand gates over the (2l+1) components via one precomputed gather
+            import numpy as _np
+
+            idx = []
+            ch = 0
             for mi in irreps_gated:
-                gg = g[..., g_ofs : g_ofs + mi.mul]
-                g_ofs += mi.mul
-                pieces.append(jnp.repeat(gg, mi.ir.dim, axis=-1))
-            gate_full = jnp.concatenate(pieces, axis=-1)
-            # gated chunk layout is mul-major: [u0 m.., u1 m..] so repeat per mul
+                for _ in range(mi.mul):
+                    idx.extend([ch] * mi.ir.dim)
+                    ch += 1
+            gate_full = jnp.take(g, jnp.asarray(_np.asarray(idx, _np.int32)), axis=-1)
             out.append(gated * gate_full)
         return jnp.concatenate(out, axis=-1)
 

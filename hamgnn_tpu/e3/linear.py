@@ -96,15 +96,14 @@ class ElementwiseChannelScale(fnn.Module):
     def __call__(self, x, weight):
         """x: (..., irreps_in.dim); weight: (..., num_irreps)."""
         irreps_in = Irreps(self.irreps_in)
-        chunks = []
-        w_ofs = 0
-        for sl, mi in zip(irreps_in.slices(), irreps_in):
-            c = x[..., sl].reshape(x.shape[:-1] + (mi.mul, mi.ir.dim))
-            w = weight[..., w_ofs : w_ofs + mi.mul]
-            # e3nn 'uvu' path with 1x0e second input: alpha = 1 (single path,
-            # num_elements = 1), so plain channel scaling.
-            c = c * w[..., :, None]
-            chunks.append(c.reshape(x.shape[:-1] + (mi.dim,)))
-            w_ofs += mi.mul
-        scaled = jnp.concatenate(chunks, axis=-1)
+        # one precomputed gather expands per-channel weights over the (2l+1)
+        # components (instead of a per-chunk slice loop)
+        idx = []
+        ch = 0
+        for mi in irreps_in:
+            for _ in range(mi.mul):
+                idx.extend([ch] * mi.ir.dim)
+                ch += 1
+        idx = jnp.asarray(np.asarray(idx, np.int32))
+        scaled = x * jnp.take(weight, idx, axis=-1)
         return self.linear_out(scaled)

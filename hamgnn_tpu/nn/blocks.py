@@ -16,10 +16,10 @@ import jax
 import jax.numpy as jnp
 from flax import linen as fnn
 
+from ..e3.fused_tp import SHTensorProductExpansion
 from ..e3.gate import NormActivation, make_gate
 from ..e3.irreps import Irreps
 from ..e3.linear import ElementwiseChannelScale, Linear
-from ..e3.tensor_product import TensorProduct, tp_out_irreps_with_instructions
 from .mlp import make_weight_generator
 from .symmetric_contraction import SymmetricContraction
 
@@ -100,20 +100,16 @@ class MessagePackBlock(fnn.Module):
         irreps_edge = Irreps(self.irreps_edge_feats)
         irreps_sh = Irreps(self.irreps_local_env_edge)
         irreps_out = Irreps(self.irreps_out)
-        mode = "uvu" if self.lite_mode else "uvw"
-        trainable = not self.lite_mode
 
         combined = Irreps([(2 * mul, ir) for mul, ir in irreps_node])
-        mid_node, ins_node = tp_out_irreps_with_instructions(
-            combined, irreps_sh, irreps_out, mode=mode, trainable=trainable)
-        mid_edge, ins_edge = tp_out_irreps_with_instructions(
-            irreps_edge, irreps_sh, irreps_out, mode=mode, trainable=trainable)
+        mid_node = SHTensorProductExpansion.mid_irreps(combined, irreps_sh, irreps_out)
+        mid_edge = SHTensorProductExpansion.mid_irreps(irreps_edge, irreps_sh, irreps_out)
 
         node_inter = fuse_src_dst(irreps_node, node_feats_src, node_feats_dst)
-        node_up = TensorProduct(combined, irreps_sh, mid_node, tuple(ins_node),
-                                name="node_tp")(node_inter, local_env_edge)
-        edge_up = TensorProduct(irreps_edge, irreps_sh, mid_edge, tuple(ins_edge),
-                                name="edge_tp")(edge_feats, local_env_edge)
+        node_up = SHTensorProductExpansion(
+            combined, irreps_sh, irreps_out, name="node_tp")(node_inter, local_env_edge)
+        edge_up = SHTensorProductExpansion(
+            irreps_edge, irreps_sh, irreps_out, name="edge_tp")(edge_feats, local_env_edge)
 
         if self.lite_mode:
             node_dn = Linear(mid_node.simplify(), irreps_out, name="node_scaler")(node_up)
@@ -250,10 +246,9 @@ class PairInteractionEmbeddingBlock(fnn.Module):
         up_dst = Linear(irreps_node, irreps_node, name="linear_up_dst")(node_feats)
         x = up_src[src] + up_dst[dst]
 
-        mode = "uvu" if self.lite_mode else "uvw"
-        mid, ins = tp_out_irreps_with_instructions(
-            irreps_node, irreps_sh, irreps_out, mode=mode, trainable=not self.lite_mode)
-        up = TensorProduct(irreps_node, irreps_sh, mid, tuple(ins), name="tp")(x, edge_sh)
+        mid = SHTensorProductExpansion.mid_irreps(irreps_node, irreps_sh, irreps_out)
+        up = SHTensorProductExpansion(
+            irreps_node, irreps_sh, irreps_out, name="tp")(x, edge_sh)
         scaler = ElementwiseChannelScale(
             irreps_in=mid.simplify(), irreps_out=irreps_out, name="scaler")
         w = make_weight_generator(

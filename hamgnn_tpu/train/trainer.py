@@ -27,6 +27,23 @@ from ..data.graph import Graph
 from ..models.model import HamGNNModel, compute_losses, compute_metrics
 
 
+def init_params_on_cpu(model, example, seed: int = 666):
+    """Initialize parameters on the host CPU backend, then transfer.
+
+    Param init is a one-shot, latency-bound graph of thousands of small RNG
+    ops: compiling/dispatching it through a remote-TPU tunnel is minutes-slow,
+    while the CPU backend runs it in seconds.  The training step (the hot
+    path) still runs fully on the accelerator.
+    """
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        params = jax.jit(model.init, backend="cpu")(jax.random.PRNGKey(seed), example)
+    default = jax.devices()[0]
+    if default.platform != "cpu":
+        params = jax.device_put(params, default)
+    return params
+
+
 @dataclasses.dataclass
 class PlateauScheduler:
     """ReduceLROnPlateau with cooldown, matching torch semantics."""
@@ -120,7 +137,7 @@ class Trainer:
     # --- setup ---------------------------------------------------------
 
     def init_params(self, example: Graph, seed: int = 666):
-        self.params = self.model.init(jax.random.PRNGKey(seed), example)
+        self.params = init_params_on_cpu(self.model, example, seed)
         self.opt_state = self.tx.init(self.params)
         return self.params
 
