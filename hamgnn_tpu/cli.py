@@ -17,7 +17,7 @@ import numpy as np
 
 from .models.model import HamGNNModel
 from .models.output import HamGNNPlusPlusOut, concatenate_by_crystal
-from .models.representation import HamGNNConvE3
+from .models.representation import HamGNNConvE3, HamGNNTransformer
 from .train.config import config_to_dict, load_config
 
 
@@ -27,6 +27,25 @@ def build_model(config) -> HamGNNModel:
     pre = config.representation_nets.HamGNN_pre
     out = config.output_nets.HamGNN_out
 
+    gnn_net = config.setup.get("GNN_Net", "HamGNNpre").lower()
+    if gnn_net == "hamgnntransformer":
+        rep = HamGNNTransformer(
+            num_types=pre.num_types,
+            irreps_edge_sh=pre.irreps_edge_sh,
+            irreps_node_features=pre.irreps_node_features,
+            num_layers=pre.num_layers,
+            num_radial=pre.num_radial,
+            rbf_func=pre.rbf_func.lower(),
+            cutoff=pre.cutoff,
+            radial_mlp=tuple(pre.radial_MLP),
+            num_heads=pre.get("num_heads", 4),
+            correlation=pre.get("correlation", 2),
+            num_hidden_features=pre.get("num_hidden_features", 16),
+            use_kan=pre.get("use_kan", False),
+            apply_charge_doping=pre.get("apply_charge_doping", False),
+            num_charge_attr_feas=pre.get("num_charge_attr_feas", 8),
+        )
+        return _attach_head(config, rep)
     rep = HamGNNConvE3(
         num_types=pre.num_types,
         irreps_edge_sh=pre.irreps_edge_sh,
@@ -48,6 +67,12 @@ def build_model(config) -> HamGNNModel:
             or config.setup.get("use_gradient_checkpointing", False)),
     )
 
+    return _attach_head(config, rep)
+
+
+def _attach_head(config, rep) -> HamGNNModel:
+    pre = config.representation_nets.HamGNN_pre
+    out = config.output_nets.HamGNN_out
     soc = out.get("soc_switch", False)
     if soc:
         from .models.soc import HamGNNSOCOut

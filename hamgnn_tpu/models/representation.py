@@ -173,3 +173,94 @@ class HamGNNConvE3(fnn.Module):
                 node_feats, edge_feats, edge_sh, edge_scalars, graph.edge_index)
 
         return {"node_attr": node_feats, "edge_attr": edge_feats}
+
+
+class HamGNNTransformer(fnn.Module):
+    """Attention-based representation net (reference hamgnn_transformer.py:36-174):
+    same embedding frontend, layers = AttentionBlockE3 -> CorrProductBlock ->
+    PairInteractionBlock (CorrProduct always on)."""
+
+    num_types: int = 96
+    irreps_edge_sh: str = "0e + 1o + 2e + 3o + 4e + 5o"
+    irreps_node_features: str = "64x0e+32x1o+16x2e"
+    num_layers: int = 3
+    num_radial: int = 64
+    rbf_func: str = "bessel"
+    cutoff: float = 26.0
+    radial_mlp: Tuple[int, ...] = (64, 64)
+    num_heads: int = 4
+    correlation: int = 2
+    num_hidden_features: int = 16
+    use_kan: bool = False
+    apply_charge_doping: bool = False
+    num_charge_attr_feas: int = 8
+
+    @fnn.compact
+    def __call__(self, graph: Graph):
+        from ..nn.attention import AttentionBlockE3
+
+        irreps_sh = Irreps(self.irreps_edge_sh)
+        irreps_feat = Irreps(self.irreps_node_features)
+        irreps_onehot = Irreps(f"{self.num_types}x0e")
+        sh_ls = [ir.l for _, ir in irreps_sh]
+
+        doping = None
+        if self.apply_charge_doping and graph.doping_charge is not None:
+            doping = graph.doping_charge[graph.batch]
+        node_attrs = ChargeDopedOneHot(
+            num_types=self.num_types,
+            apply_charge_doping=self.apply_charge_doping,
+            num_charge_attr_feas=self.num_charge_attr_feas,
+            name="atomic_embedding",
+        )(graph.z, doping)
+
+        edge_vec = graph.edge_vectors()
+        edge_len = jnp.sqrt(jnp.sum(edge_vec * edge_vec, axis=-1))
+        edge_len = jnp.where(graph.edge_mask, edge_len, 1.0)
+        edge_sh = spherical_harmonics(sh_ls, edge_vec, normalize=True)
+        rbf = RBF_REGISTRY[self.rbf_func](self.num_radial, self.cutoff)(edge_len)
+        edge_scalars = rbf * cosine_cutoff(edge_len, self.cutoff)[:, None]
+
+        edge_feats = PairInteractionEmbeddingBlock(
+            irreps_node_feats=irreps_onehot,
+            irreps_edge_feats=irreps_feat,
+            irreps_edge_attrs=irreps_sh,
+            num_edge_scalars=self.num_radial,
+            radial_mlp=tuple(self.radial_mlp),
+            use_kan=self.use_kan,
+            name="pair_embedding",
+        )(node_attrs, edge_sh, edge_scalars, graph.edge_index)
+        node_feats = Linear(irreps_onehot, irreps_feat, name="chemical_embedding")(node_attrs)
+
+        for i in range(self.num_layers):
+            node_feats = AttentionBlockE3(
+                irreps_in=irreps_feat,
+                irreps_out=irreps_feat,
+                irreps_edge_attrs=irreps_sh,
+                num_edge_scalars=self.num_radial,
+                num_heads=self.num_heads,
+                max_radius=self.cutoff,
+                radial_mlp=tuple(self.radial_mlp),
+                use_kan=self.use_kan,
+                name=f"orb_transformer_{i}",
+            )(node_feats, edge_feats, edge_sh, edge_scalars, edge_len,
+              graph.edge_index, graph.edge_mask)
+            node_feats = CorrProductBlock(
+                irreps_node_feats=irreps_feat,
+                num_hidden_features=self.num_hidden_features,
+                correlation=self.correlation,
+                num_elements=self.num_types,
+                use_skip_connections=True,
+                name=f"corr_{i}",
+            )(node_feats, node_attrs)
+            edge_feats = PairInteractionBlock(
+                irreps_node_feats=irreps_feat,
+                irreps_edge_feats=irreps_feat,
+                irreps_edge_attrs=irreps_sh,
+                num_edge_scalars=self.num_radial,
+                radial_mlp=tuple(self.radial_mlp),
+                use_kan=self.use_kan,
+                name=f"pair_{i}",
+            )(node_feats, edge_feats, edge_sh, edge_scalars, graph.edge_index)
+
+        return {"node_attr": node_feats, "edge_attr": edge_feats}
