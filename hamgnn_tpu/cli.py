@@ -74,6 +74,23 @@ def _attach_head(config, rep) -> HamGNNModel:
     pre = config.representation_nets.HamGNN_pre
     out = config.output_nets.HamGNN_out
     soc = out.get("soc_switch", False)
+    if out.get("spin_constrained", False):
+        from .models.spin import HamGNNMagneticOut
+
+        head = HamGNNMagneticOut(
+            irreps_in_node=pre.irreps_node_features,
+            irreps_in_edge=pre.irreps_node_features,
+            nao_max=out.nao_max,
+            ham_type=out.ham_type.lower(),
+            soc_switch=soc,
+            collinear_spin=out.get("collinear_spin", False),
+            use_learned_weight=out.get("use_learned_weight", True),
+            min_magnetic_moment=out.get("minMagneticMoment", 0.5),
+            add_H0=out.add_H0,
+            symmetrize=out.symmetrize,
+            nonlinearity_type=out.get("nonlinearity_type", "gate"),
+        )
+        return HamGNNModel(representation=rep, output=head)
     if soc:
         from .models.soc import HamGNNSOCOut
 

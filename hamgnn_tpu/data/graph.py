@@ -40,6 +40,11 @@ class Graph:
     edge_counts: jnp.ndarray  # (B,) int32
     # optional per-crystal scalars
     doping_charge: Optional[jnp.ndarray] = None  # (B,)
+    # magnetic / spin-constrained inputs (optional)
+    spin_vec: Optional[jnp.ndarray] = None       # (N, 3)
+    spin_length: Optional[jnp.ndarray] = None    # (N,)
+    # segment id per edge over unique (dst, cell_shift) pairs (pack-time)
+    edge_group_tar: Optional[jnp.ndarray] = None  # (E,)
     # targets (optional, present in training data)
     Hon: Optional[jnp.ndarray] = None    # (N, nao^2) or (N, S, nao^2) spin stacks
     Hoff: Optional[jnp.ndarray] = None   # (E, nao^2)
@@ -119,6 +124,9 @@ def pad_and_batch(
     targets: Dict[str, List[np.ndarray]] = {
         k: [] for k in _TARGET_FIELDS if all(k in c for c in crystals)
     }
+    has_spin = all("spin_vec" in c for c in crystals)
+    spin_vec = np.zeros((N, 3), dtype) if has_spin else None
+    spin_length = np.zeros(N, dtype) if has_spin else None
 
     n_ofs = e_ofs = 0
     for b, c in enumerate(crystals):
@@ -140,10 +148,26 @@ def pad_and_batch(
         edge_counts[b] = e
         if "doping_charge" in c:
             doping[b] = np.asarray(c["doping_charge"]).reshape(-1)[0]
+        if has_spin:
+            sv = np.asarray(c["spin_vec"], dtype)
+            spin_vec[n_ofs : n_ofs + n] = sv
+            if "spin_length" in c:
+                spin_length[n_ofs : n_ofs + n] = np.asarray(c["spin_length"], dtype)
+            else:
+                spin_length[n_ofs : n_ofs + n] = np.linalg.norm(sv, axis=-1)
         for k in targets:
             targets[k].append(np.asarray(c[k], dtype))
         n_ofs += n
         e_ofs += e
+
+    # segment id per edge over unique (dst, cell_shift): used by the
+    # spin-constrained Heisenberg terms (static-shape replacement of the
+    # reference's ragged edge_matcher_tar lookups)
+    group_key = {}
+    edge_group = np.zeros(E, np.int32)
+    for e2 in range(E):
+        key = (int(edge_index[1, e2]), tuple(int(v) for v in cell_shift[e2]))
+        edge_group[e2] = group_key.setdefault(key, len(group_key))
 
     packed_targets = {}
     for k, rows in targets.items():
@@ -167,5 +191,8 @@ def pad_and_batch(
         node_counts=jnp.asarray(node_counts),
         edge_counts=jnp.asarray(edge_counts),
         doping_charge=jnp.asarray(doping),
+        spin_vec=jnp.asarray(spin_vec) if has_spin else None,
+        spin_length=jnp.asarray(spin_length) if has_spin else None,
+        edge_group_tar=jnp.asarray(edge_group),
         **packed_targets,
     )

@@ -37,6 +37,9 @@ def _stack_pred_target(name: str, preds: Dict, graph: Graph):
         pred = jnp.concatenate([preds["hamiltonian_on"], preds["hamiltonian_off"]], 0)
         target = jnp.concatenate([graph.Hon, graph.Hoff], 0)
         mask = jnp.concatenate([graph.node_mask, graph.edge_mask], 0)[:, None]
+        # collinear-spin stacks carry an extra spin-channel dim: flatten rows
+        pred = pred.reshape(pred.shape[0], -1)
+        target = target.reshape(target.shape[0], -1)
         return pred, target, mask
     if nm == "overlap":
         pred = jnp.concatenate([preds["overlap_on"], preds["overlap_off"]], 0)

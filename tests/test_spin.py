@@ -1,0 +1,156 @@
+"""Spin-constrained Heisenberg terms: vectorization vs loop-reference, head smoke.
+
+The brute-force reference below re-implements the torch loop semantics
+(hamgnn_output.py:3219-3601) in plain numpy; the vectorized segment-sum version
+must match it exactly on small crystals.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from hamgnn_tpu.data.graph import pad_and_batch
+from hamgnn_tpu.models.representation import HamGNNConvE3
+from hamgnn_tpu.models.spin import HamGNNMagneticOut, heisenberg_terms
+
+from util_fixtures import add_random_hamiltonian_targets, make_crystal
+
+FEAT = "8x0e+8x0o+6x1o+4x1e+4x2e+2x2o"
+SH = "0e + 1o + 2e"
+
+
+def loop_reference(c, J_on, J_off, w_on, w_off, spin, magnetic, soc, collinear, nao):
+    """Direct transcription of the reference's loop semantics (numpy)."""
+    SIG = np.zeros((3, 2, 2), complex)
+    SIG[0] = [[0, 1], [1, 0]]
+    SIG[1] = [[0, -1j], [1j, 0]]
+    SIG[2] = [[1, 0], [0, -1]]
+    src, dst = c["edge_index"]
+    E = src.shape[0]
+    N = len(c["z"])
+    shifts = c["cell_shift"]
+    dtypec = float if collinear else complex
+    H_on = np.zeros((N, 2, nao, 2, nao), dtypec)
+    H_off = np.zeros((E, 2, nao, 2, nao), dtypec)
+
+    # edge lookups
+    edges_src = {a: [e for e in range(E) if src[e] == a] for a in range(N)}
+    edges_tar_shift = {}
+    for e in range(E):
+        edges_tar_shift.setdefault((dst[e], tuple(shifts[e])), []).append(e)
+
+    def C_on(J, s):  # full sigma.s or both orders for rank2
+        if collinear:
+            return np.einsum("ij,op->oipj", J, np.real(SIG[2]) * s[2])
+        if soc:
+            return (np.einsum("ijkl,kop,l->oipj", J, SIG, s)
+                    + np.einsum("ijkl,lop,k->oipj", J, SIG, s))
+        return np.einsum("ij,kop,k->oipj", J, SIG, s)
+
+    def C_dir(J, s, order):
+        if collinear:
+            return np.einsum("ij,op->oipj", J, np.real(SIG[2]) * s[2])
+        if soc:
+            sub = "ijkl,kop,l->oipj" if order == "kl" else "ijkl,lop,k->oipj"
+            return np.einsum(sub, J, SIG, s)
+        return np.einsum("ij,kop,k->oipj", J, SIG, s)
+
+    # onsite magnetic term
+    for a in range(N):
+        if magnetic[a]:
+            H_on[a] += C_on(J_on[a], spin[a]) * w_on[a][None, :, None, :]
+
+    # J_on distributed over incident edges
+    for a in range(N):
+        if magnetic[a]:
+            zs = edges_tar_shift.get((a, (0, 0, 0)), [])
+            for e in list(edges_src[a]) + zs:
+                H_off[e] += C_on(J_on[a], spin[a]) * w_off[e][None, :, None, :]
+
+    # edge loop
+    for e in range(E):
+        s_, t_ = src[e], dst[e]
+        if magnetic[t_]:
+            H_on[s_] += C_dir(J_off[e], spin[t_], "kl") * w_on[s_][None, :, None, :]
+            for e2 in edges_src[s_]:
+                H_off[e2] += C_dir(J_off[e], spin[t_], "kl") * w_off[e2][None, :, None, :]
+        if magnetic[s_]:
+            for e2 in edges_tar_shift[(t_, tuple(shifts[e]))]:
+                H_off[e2] += C_dir(J_off[e], spin[s_], "lk") * w_off[e2][None, :, None, :]
+            if tuple(shifts[e]) == (0, 0, 0):
+                H_on[t_] += C_dir(J_off[e], spin[s_], "lk") * w_on[t_][None, :, None, :]
+    return H_on, H_off
+
+
+@pytest.mark.parametrize("soc,collinear", [(True, False), (False, False), (False, True)])
+def test_heisenberg_matches_loop_reference(soc, collinear):
+    rng = np.random.default_rng(0)
+    nao = 5
+    c = make_crystal(rng, n_atoms=3, species=(6, 14), cutoff=3.5)
+    graph = pad_and_batch([c], bucket_multiple=8)
+    N, E = graph.num_nodes, graph.num_edges
+    n_real, e_real = len(c["z"]), c["edge_index"].shape[1]
+
+    if soc:
+        J = rng.normal(size=(N, nao, nao, 3, 3)).astype(np.float32)
+        J_off = rng.normal(size=(E, nao, nao, 3, 3)).astype(np.float32)
+    else:
+        J = rng.normal(size=(N, nao, nao)).astype(np.float32)
+        J_off = rng.normal(size=(E, nao, nao)).astype(np.float32)
+    w_on = rng.normal(size=(N, nao, nao)).astype(np.float32)
+    w_off = rng.normal(size=(E, nao, nao)).astype(np.float32)
+    spin = rng.normal(size=(N, 3)).astype(np.float32)
+    magnetic = np.zeros(N, np.float32)
+    magnetic[:n_real] = (rng.random(n_real) > 0.3).astype(np.float32)
+
+    h_on, h_off = jax.jit(
+        lambda: heisenberg_terms(graph, J, J_off, w_on, w_off, spin, magnetic,
+                                 soc=soc, collinear=collinear))()
+    h_on = np.asarray(h_on)[:n_real]
+    h_off = np.asarray(h_off)[:e_real]
+
+    ref_on, ref_off = loop_reference(
+        c, J[:n_real], J_off[:e_real], w_on[:n_real], w_off[:e_real],
+        spin[:n_real], magnetic[:n_real], soc, collinear, nao)
+    np.testing.assert_allclose(h_on, ref_on, atol=2e-4)
+    np.testing.assert_allclose(h_off, ref_off, atol=2e-4)
+
+
+class TestMagneticHead:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        rng = np.random.default_rng(5)
+        c = make_crystal(rng, n_atoms=3, species=(6, 14))
+        c = add_random_hamiltonian_targets(rng, c, nao_max=14)
+        n, e = len(c["z"]), c["edge_index"].shape[1]
+        c["spin_vec"] = rng.normal(size=(n, 3))
+        c["spin_length"] = np.linalg.norm(c["spin_vec"], axis=-1)
+        big = (2 * 14) ** 2
+        c["iHon"] = np.zeros((n, big))
+        c["iHoff"] = np.zeros((e, big))
+        graph = pad_and_batch([c], bucket_multiple=8)
+        rep = HamGNNConvE3(num_types=20, irreps_edge_sh=SH,
+                           irreps_node_features=FEAT, num_layers=1,
+                           num_radial=8, cutoff=4.0, radial_mlp=(16, 16))
+        p = rep.init(jax.random.PRNGKey(0), graph)
+        feats = rep.apply(p, graph)
+        return graph, feats
+
+    @pytest.mark.parametrize("soc,collinear", [(True, False), (False, False),
+                                               (False, True)])
+    def test_forward(self, setup, soc, collinear):
+        graph, feats = setup
+        head = HamGNNMagneticOut(
+            irreps_in_node=FEAT, irreps_in_edge=FEAT, nao_max=14,
+            ham_type="openmx", soc_switch=soc, collinear_spin=collinear,
+            add_H0=False)
+        params = head.init(jax.random.PRNGKey(1), graph, feats)
+        res = head.apply(params, graph, feats)
+        if collinear:
+            assert res["hamiltonian_on"].shape[1:] == (2, 196)
+            assert np.isfinite(np.asarray(res["hamiltonian_on"])).all()
+        else:
+            big = (2 * 14) ** 2
+            assert res["hamiltonian_real_on"].shape[1] == big
+            assert np.isfinite(np.asarray(res["hamiltonian_real_on"])).all()
+            assert np.isfinite(np.asarray(res["hamiltonian_imag_on"])).all()
