@@ -1,0 +1,269 @@
+"""ABACUS interface: STRU parsing, sparse H(R)/S(R) CSR reading, graph packing.
+
+Reference: /root/reference/DFT_interfaces/abacus/read_abacus.py — the ABACUS
+``data-HR-sparse`` / ``data-SR-sparse`` text format stores, per cell shift
+(cx, cy, cz), one CSR matrix over supercell orbitals; SOC runs interleave the
+two spins along the orbital axis (even/odd strides) with complex entries
+(:418-724).  Per-edge dense blocks are cut per (atom_i, atom_j, shift).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..models.basis import get_basis_set
+
+AU2ANG = 0.5291772490000065
+RY2HA = 13.60580 / 27.21138506
+
+_SYM2Z = {s: i for i, s in enumerate([
+    "X", "H", "He", "Li", "Be", "B", "C", "N", "O", "F", "Ne", "Na", "Mg",
+    "Al", "Si", "P", "S", "Cl", "Ar", "K", "Ca", "Sc", "Ti", "V", "Cr", "Mn",
+    "Fe", "Co", "Ni", "Cu", "Zn", "Ga", "Ge", "As", "Se", "Br", "Kr", "Rb",
+    "Sr", "Y", "Zr", "Nb", "Mo", "Tc", "Ru", "Rh", "Pd", "Ag", "Cd", "In",
+    "Sn", "Sb", "Te", "I", "Xe", "Cs", "Ba", "La", "Ce", "Pr", "Nd", "Pm",
+    "Sm", "Eu", "Gd", "Tb", "Dy", "Ho", "Er", "Tm", "Yb", "Lu", "Hf", "Ta",
+    "W", "Re", "Os", "Ir", "Pt", "Au", "Hg", "Tl", "Pb", "Bi"])}
+
+_L_DIM = {"s": 1, "p": 3, "d": 5, "f": 7, "g": 9}
+
+
+def orbital_count_from_name(orb_name: str) -> int:
+    """Number of orbitals from an ABACUS .orb filename, e.g.
+    'C_gga_7au_100Ry_2s2p1d.orb' -> 2*1 + 2*3 + 1*5 = 13
+    (reference STRU.parse_orbitals, read_abacus.py:346-365)."""
+    m = re.search(r"(\d+[spdfg])+\.orb", orb_name)
+    total = 0
+    for count, l in re.findall(r"(\d+)([spdfg])", orb_name.split("_")[-1]):
+        total += int(count) * _L_DIM[l]
+    return total
+
+
+@dataclass
+class Stru:
+    species: List[str]
+    num_atoms_per_species: List[int]
+    num_orbitals: List[int]
+    cell: np.ndarray          # Bohr
+    positions: np.ndarray     # Bohr, cartesian
+    z: np.ndarray
+
+    @property
+    def num_atoms_unit_cell(self) -> int:
+        return int(sum(self.num_atoms_per_species))
+
+
+def parse_stru(path: str) -> Stru:
+    """Parse an ABACUS STRU file (sections ATOMIC_SPECIES, NUMERICAL_ORBITAL,
+    LATTICE_CONSTANT, LATTICE_VECTORS, ATOMIC_POSITIONS)."""
+    with open(path) as f:
+        lines = [ln.split("#")[0].rstrip() for ln in f]
+    text = "\n".join(lines)
+
+    def section(name):
+        # section headers are long uppercase tokens; a bare element symbol
+        # line (e.g. "C") must not terminate a section
+        m = re.search(rf"{name}\s*\n(.*?)(?=\n[A-Z][A-Z_]{{3,}}\s*\n|\Z)", text, re.S)
+        return m.group(1).strip().splitlines() if m else []
+
+    species = [ln.split()[0] for ln in section("ATOMIC_SPECIES") if ln.strip()]
+    orbs = [orbital_count_from_name(ln.split()[0])
+            for ln in section("NUMERICAL_ORBITAL") if ln.strip()]
+    lat_const = float(section("LATTICE_CONSTANT")[0].split()[0])  # in Bohr
+    cell = np.array([[float(v) for v in ln.split()[:3]]
+                     for ln in section("LATTICE_VECTORS")[:3]]) * lat_const
+
+    pos_lines = section("ATOMIC_POSITIONS")
+    mode = pos_lines[0].strip().lower()  # 'direct' or 'cartesian'
+    counts, positions, z = [], [], []
+    i = 1
+    for s in species:
+        while not pos_lines[i].strip():
+            i += 1
+        assert pos_lines[i].split()[0] == s, (pos_lines[i], s)
+        i += 1  # species label
+        i += 1  # magnetism
+        n = int(pos_lines[i].split()[0])
+        i += 1
+        counts.append(n)
+        for _ in range(n):
+            while not pos_lines[i].strip():
+                i += 1
+            vals = [float(v) for v in pos_lines[i].split()[:3]]
+            positions.append(vals)
+            z.append(_SYM2Z[s])
+            i += 1
+    positions = np.asarray(positions)
+    if mode.startswith("direct"):
+        positions = positions @ cell
+    else:
+        positions = positions * lat_const
+    return Stru(species=species, num_atoms_per_species=counts,
+                num_orbitals=orbs, cell=cell, positions=positions,
+                z=np.asarray(z, np.int64))
+
+
+def _atom_orbitals(stru: Stru, repeat: int):
+    per_atom = []
+    for si in range(len(stru.species)):
+        per_atom += [stru.num_orbitals[si]] * stru.num_atoms_per_species[si]
+    no = np.asarray(per_atom, np.int64) * repeat
+    indo = np.concatenate([[0], np.cumsum(no[:-1])])
+    return no, indo
+
+
+def read_csr_file(path: str, soc: bool = False):
+    """Yield (shift (3,), csr components) per cell shift from an ABACUS sparse
+    matrix file."""
+    from scipy.sparse import csr_matrix
+
+    with open(path) as f:
+        line = f.readline()
+        if "STEP" in line:
+            line = f.readline()
+        no_u = int(line.split()[-1])
+        f.readline()  # ncell_shift
+        while True:
+            line = f.readline()
+            if not line:
+                break
+            t = line.split()
+            if len(t) < 4:
+                continue
+            shift = np.array([int(t[0]), int(t[1]), int(t[2])])
+            nh = int(t[3])
+            if nh == 0:
+                continue
+            val_line = f.readline()
+            col = np.array(f.readline().split(), int)
+            row = np.array(f.readline().split(), int)
+            if soc:
+                raw = np.asarray(re.findall(r"[\-\+\d\.eE]+", val_line), np.float64)
+                val = raw[0::2] + 1j * raw[1::2]
+                dtype = np.complex128
+            else:
+                val = np.asarray(val_line.split(), np.float64)
+                dtype = np.float64
+            yield shift, csr_matrix((val, col, row), shape=(no_u, no_u), dtype=dtype)
+
+
+def build_graph_from_csr(stru: Stru, h_path: str, s_path: Optional[str] = None,
+                         soc: bool = False) -> Dict:
+    """Edges + per-edge dense blocks from ABACUS H(R)/S(R) sparse files."""
+    repeat = 2 if soc else 1
+    nspin = 4 if soc else 1
+    no, indo = _atom_orbitals(stru, repeat)
+    na = stru.num_atoms_unit_cell
+
+    src, dst, cshift, nshift = [], [], [], []
+    Hon = [[] for _ in range(nspin)]
+    Hoff = [[] for _ in range(nspin)]
+    Son, Soff = [], []
+    edge_key = {}
+
+    def spin_blocks(m):
+        if not soc:
+            return [m]
+        return [m[0::2, 0::2], m[0::2, 1::2], m[1::2, 0::2], m[1::2, 1::2]]
+
+    for shift, H in read_csr_file(h_path, soc=soc):
+        H = H * RY2HA
+        for ia in range(na):
+            for ja in range(na):
+                blk = H[indo[ia] : indo[ia] + no[ia], indo[ja] : indo[ja] + no[ja]]
+                onsite = ia == ja and not shift.any()
+                if not onsite and blk.getnnz() == 0:
+                    continue
+                bl = [b.toarray() for b in spin_blocks(blk)]
+                if onsite:
+                    for s in range(nspin):
+                        Hon[s].append(bl[s])
+                else:
+                    for s in range(nspin):
+                        Hoff[s].append(bl[s])
+                    edge_key[(ia, ja, tuple(shift))] = len(src)
+                    src.append(ia)
+                    dst.append(ja)
+                    cshift.append(shift)
+                    nshift.append(shift @ stru.cell)
+
+    # overlap file (non-SOC storage even for SOC runs)
+    Son = [np.zeros((no[a] // repeat, no[a] // repeat)) for a in range(na)]
+    Soff = [np.zeros((no[src[e]] // repeat, no[dst[e]] // repeat))
+            for e in range(len(src))]
+    if s_path is not None:
+        no1, indo1 = _atom_orbitals(stru, 1)
+        for shift, S in read_csr_file(s_path, soc=False):
+            for ia in range(na):
+                for ja in range(na):
+                    blk = S[indo1[ia] : indo1[ia] + no1[ia],
+                            indo1[ja] : indo1[ja] + no1[ja]]
+                    onsite = ia == ja and not shift.any()
+                    if onsite:
+                        Son[ia] = blk.toarray()
+                    elif blk.getnnz() > 0:
+                        e = edge_key.get((ia, ja, tuple(shift)))
+                        if e is not None:
+                            Soff[e] = blk.toarray()
+
+    return {
+        "edge_src": np.asarray(src, np.int64),
+        "edge_dst": np.asarray(dst, np.int64),
+        "cell_shift": np.asarray(cshift, np.int64).reshape(-1, 3),
+        "nbr_shift": np.asarray(nshift, float).reshape(-1, 3),
+        "Hon": Hon, "Hoff": Hoff, "Son": Son, "Soff": Soff,
+    }
+
+
+def pack_crystal_abacus(graph: Dict, stru: Stru, nao_max: int,
+                        soc: bool = False) -> Dict[str, np.ndarray]:
+    from .openmx import _dense_rows, inverse_edges
+
+    basis = get_basis_set("abacus", nao_max)
+    z = stru.z
+    src, dst = graph["edge_src"], graph["edge_dst"]
+    inv = inverse_edges(src, dst, graph["cell_shift"])
+    nao = nao_max
+    out = {
+        "z": z, "pos": stru.positions, "cell": stru.cell[None],
+        "edge_index": np.stack([src, dst]), "inv_edge_idx": inv,
+        "cell_shift": graph["cell_shift"], "nbr_shift": graph["nbr_shift"],
+        "Son": _dense_rows(graph["Son"], z, z, basis, nao),
+        "Soff": _dense_rows(graph["Soff"], z[src], z[dst], basis, nao),
+    }
+    if not soc:
+        out["Hon"] = _dense_rows([np.real(b) for b in graph["Hon"][0]], z, z, basis, nao)
+        out["Hoff"] = _dense_rows([np.real(b) for b in graph["Hoff"][0]],
+                                  z[src], z[dst], basis, nao)
+        return out
+
+    def quad_rows(blocks, rows_fn):
+        return [rows_fn([np.real(b) for b in blocks]),
+                rows_fn([np.imag(b) for b in blocks])]
+
+    def rows_on(bl):
+        return _dense_rows(bl, z, z, basis, nao)
+
+    def rows_off(bl):
+        return _dense_rows(bl, z[src], z[dst], basis, nao)
+
+    def assemble(uu, ud, du, dd, rows):
+        r = [rows([np.real(b) for b in blk]) for blk in (uu, ud, du, dd)]
+        i = [rows([np.imag(b) for b in blk]) for blk in (uu, ud, du, dd)]
+        m = r[0].shape[0]
+        Hr = np.zeros((m, 2 * nao, 2 * nao))
+        Hi = np.zeros((m, 2 * nao, 2 * nao))
+        for (si, sj), idx in (((0, 0), 0), ((0, 1), 1), ((1, 0), 2), ((1, 1), 3)):
+            Hr[:, si * nao : (si + 1) * nao, sj * nao : (sj + 1) * nao] = \
+                r[idx].reshape(m, nao, nao)
+            Hi[:, si * nao : (si + 1) * nao, sj * nao : (sj + 1) * nao] = \
+                i[idx].reshape(m, nao, nao)
+        return Hr.reshape(m, -1), Hi.reshape(m, -1)
+
+    out["Hon"], out["iHon"] = assemble(*graph["Hon"], rows_on)
+    out["Hoff"], out["iHoff"] = assemble(*graph["Hoff"], rows_off)
+    return out
