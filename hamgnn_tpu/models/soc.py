@@ -141,7 +141,7 @@ class HamGNNSOCOut(fnn.Module):
 
     @fnn.compact
     def __call__(self, graph: Graph, representation: Dict[str, jnp.ndarray],
-                 k_vecs=None) -> Dict[str, jnp.ndarray]:
+                 k_vecs=None, h_nonsoc=None) -> Dict[str, jnp.ndarray]:
         basis = get_basis_set(self.ham_type, self.nao_max)
         nao = basis.nao_max
         node_attr = representation["node_attr"]
@@ -204,26 +204,28 @@ class HamGNNSOCOut(fnn.Module):
             Mr = jnp.asarray(_merge_reorder_matrix(self.ham_type, self.nao_max), dtype)
 
             if self.add_H_nonsoc:
-                h_spatial_on = graph.Hon  # Hon_nonsoc supplied upstream
-                h_spatial_off = graph.Hoff
-                raise NotImplementedError(
-                    "add_H_nonsoc requires Hon_nonsoc inputs; wire via UniHamGNN driver")
+                # Uni-HamGNN path (reference :3028-3049): the spatial part comes
+                # from an upstream non-SOC model prediction; H0's spin-diagonal
+                # blocks are zeroed so only its spin-coupling part is added.
+                assert h_nonsoc is not None, "add_H_nonsoc requires h_nonsoc=(on, off)"
+                hs_on = h_nonsoc[0].reshape(-1, nao, nao) * on_pair
+                hs_off = h_nonsoc[1].reshape(-1, nao, nao) * off_pair
+            else:
+                def spatial(feats, irreps_in, name):
+                    comps = HamLayer(irreps_in=Irreps(irreps_in), irreps_out=ham_irreps,
+                                     nonlinearity_type=self.nonlinearity_type,
+                                     name=name)(feats)
+                    return comps @ Mr
 
-            def spatial(feats, irreps_in, name):
-                comps = HamLayer(irreps_in=Irreps(irreps_in), irreps_out=ham_irreps,
-                                 nonlinearity_type=self.nonlinearity_type,
-                                 name=name)(feats)
-                return comps @ Mr
-
-            h_spatial_on = spatial(node_attr, self.irreps_in_node, "onsite_hamiltonian")
-            hs_on = h_spatial_on.reshape(-1, nao, nao)
-            hs_on = 0.5 * (hs_on + jnp.swapaxes(hs_on, -1, -2)) if self.symmetrize else hs_on
-            h_spatial_off = spatial(edge_attr, self.irreps_in_edge, "offsite_hamiltonian")
-            hs_off = h_spatial_off.reshape(-1, nao, nao)
-            if self.symmetrize:
-                hs_off = 0.5 * (hs_off + jnp.swapaxes(hs_off[inv_edge], -1, -2))
-            hs_on = hs_on * on_pair
-            hs_off = hs_off * off_pair
+                h_spatial_on = spatial(node_attr, self.irreps_in_node, "onsite_hamiltonian")
+                hs_on = h_spatial_on.reshape(-1, nao, nao)
+                hs_on = 0.5 * (hs_on + jnp.swapaxes(hs_on, -1, -2)) if self.symmetrize else hs_on
+                h_spatial_off = spatial(edge_attr, self.irreps_in_edge, "offsite_hamiltonian")
+                hs_off = h_spatial_off.reshape(-1, nao, nao)
+                if self.symmetrize:
+                    hs_off = 0.5 * (hs_off + jnp.swapaxes(hs_off[inv_edge], -1, -2))
+                hs_on = hs_on * on_pair
+                hs_off = hs_off * off_pair
 
             # ksi scalar couplings, orbital-block averaged
             def ksi_head(feats, irreps_in, name):
@@ -284,8 +286,20 @@ class HamGNNSOCOut(fnn.Module):
         h_off_i = h_off_i.reshape(-1, n2)
 
         if self.add_H0 and graph.Hon0 is not None:
-            h_on_r = h_on_r + graph.Hon0
-            h_off_r = h_off_r + graph.Hoff0
+            hon0, hoff0 = graph.Hon0, graph.Hoff0
+            if self.add_H_nonsoc:
+                # zero the spin-diagonal blocks of H0 (reference :3038-3049):
+                # the non-SOC prediction already carries the spatial H0
+                def zero_diag(h):
+                    hb = h.reshape(-1, 2, nao, 2, nao)
+                    hb = hb.at[:, 0, :, 0, :].set(0.0)
+                    hb = hb.at[:, 1, :, 1, :].set(0.0)
+                    return hb.reshape(-1, (2 * nao) ** 2)
+
+                hon0 = zero_diag(hon0)
+                hoff0 = zero_diag(hoff0)
+            h_on_r = h_on_r + hon0
+            h_off_r = h_off_r + hoff0
             if graph.iHon0 is not None:
                 h_on_i = h_on_i + graph.iHon0
                 h_off_i = h_off_i + graph.iHoff0

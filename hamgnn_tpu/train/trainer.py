@@ -27,7 +27,7 @@ from ..data.graph import Graph
 from ..models.model import HamGNNModel, compute_losses, compute_metrics
 
 
-def init_params_on_cpu(model, example, seed: int = 666):
+def init_params_on_cpu(model, example, seed: int = 666, method=None):
     """Initialize parameters on the host CPU backend, then transfer.
 
     Param init is a one-shot, latency-bound graph of thousands of small RNG
@@ -36,8 +36,14 @@ def init_params_on_cpu(model, example, seed: int = 666):
     path) still runs fully on the accelerator.
     """
     cpu = jax.devices("cpu")[0]
+
+    def do_init(key, ex):
+        if method is not None:
+            return model.init(key, ex, method=method)
+        return model.init(key, ex)
+
     with jax.default_device(cpu):
-        params = jax.jit(model.init, backend="cpu")(jax.random.PRNGKey(seed), example)
+        params = jax.jit(do_init, backend="cpu")(jax.random.PRNGKey(seed), example)
     default = jax.devices()[0]
     if default.platform != "cpu":
         params = jax.device_put(params, default)
