@@ -92,6 +92,12 @@ def shard_stacked_graph(mesh: Mesh, stacked: Graph) -> Graph:
     return Graph(**kwargs)
 
 
+def replicate_to_mesh(mesh: Mesh, tree):
+    """device_put a pytree fully replicated over the mesh (params/opt state)."""
+    sh = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
 def make_parallel_train_step(model, tx, losses: List[Dict[str, Any]], mesh: Mesh,
                              example: Graph):
     """jit-compiled SPMD train step over a stacked, sharded Graph batch.
