@@ -295,3 +295,78 @@ class CorrProductBlock(fnn.Module):
         if self.use_skip_connections:
             out = out + Linear(irreps_node, irreps_node, name="linear_sc")(node_feats)
         return out
+
+
+class NodePairTensorProduct(fnn.Module):
+    """Unweighted channel-preserving CG expansion of node (x) node features
+    (the uvu node-node pathway of the reference's MessagePackBlockV2,
+    message_passing.py:234-418) followed by channel scaling + linear."""
+
+    irreps_node_feats: Irreps
+    irreps_out: Irreps
+    num_edge_scalars: int
+    radial_mlp: Tuple[int, ...] = (64, 64)
+    use_kan: bool = False
+
+    @fnn.compact
+    def __call__(self, feats_dst, feats_src, edge_scalars):
+        irreps = Irreps(self.irreps_node_feats)
+        irreps_out = Irreps(self.irreps_out)
+        # reuse the fused SH-TP machinery with the *second feature set* playing
+        # the SH role per chunk: contract each (mul, l2) chunk of src features
+        # channel-summed into a mul=1 "environment" vector first (cheap and
+        # equivariant), then expand dst features against it.
+        env_chunks = []
+        for sl, (mul, ir) in zip(irreps.slices(), irreps):
+            c = feats_src[..., sl].reshape(feats_src.shape[:-1] + (mul, ir.dim))
+            env_chunks.append(jnp.mean(c, axis=-2))
+        env = jnp.concatenate(env_chunks, axis=-1)
+        env_irreps = Irreps([(1, ir) for _, ir in irreps])
+
+        mid = SHTensorProductExpansion.mid_irreps(irreps, env_irreps, irreps_out)
+        up = SHTensorProductExpansion(
+            irreps, env_irreps, irreps_out, name="tp")(feats_dst, env)
+        scaler = ElementwiseChannelScale(
+            irreps_in=mid.simplify(), irreps_out=irreps_out, name="scaler")
+        w = make_weight_generator(
+            self.num_edge_scalars, self.radial_mlp, scaler.weight_numel,
+            self.use_kan)(edge_scalars)
+        out = scaler(up, w)
+        return Linear(irreps_out, irreps_out, name="out")(out)
+
+
+class MessagePackBlockV2(fnn.Module):
+    """MessagePackBlock + a node (x) node tensor-product pathway
+    (reference message_passing.py:234-418)."""
+
+    irreps_node_feats: Irreps
+    irreps_edge_feats: Irreps
+    irreps_local_env_edge: Irreps
+    irreps_out: Irreps
+    num_edge_scalars: int
+    radial_mlp: Tuple[int, ...] = (64, 64)
+    use_kan: bool = False
+
+    @fnn.compact
+    def __call__(self, node_feats_src, node_feats_dst, edge_feats,
+                 local_env_edge, edge_scalars):
+        base = MessagePackBlock(
+            irreps_node_feats=Irreps(self.irreps_node_feats),
+            irreps_edge_feats=Irreps(self.irreps_edge_feats),
+            irreps_local_env_edge=Irreps(self.irreps_local_env_edge),
+            irreps_out=Irreps(self.irreps_out),
+            num_edge_scalars=self.num_edge_scalars,
+            radial_mlp=tuple(self.radial_mlp),
+            use_kan=self.use_kan,
+            name="base",
+        )(node_feats_src, node_feats_dst, edge_feats, local_env_edge,
+          edge_scalars)
+        nn_path = NodePairTensorProduct(
+            irreps_node_feats=Irreps(self.irreps_node_feats),
+            irreps_out=Irreps(self.irreps_out),
+            num_edge_scalars=self.num_edge_scalars,
+            radial_mlp=tuple(self.radial_mlp),
+            use_kan=self.use_kan,
+            name="node_node",
+        )(node_feats_dst, node_feats_src, edge_scalars)
+        return base + nn_path
