@@ -23,13 +23,13 @@ import numpy as np
 TARGET_EDGES_PER_S = 50_000.0
 
 
-def build_bench_case(n_atoms=48, cutoff=5.2):
+def build_bench_case(n_atoms=96, cutoff=6.0):
     from util_fixtures import add_random_hamiltonian_targets, make_crystal
 
     from hamgnn_tpu.data.graph import pad_and_batch
 
     rng = np.random.default_rng(0)
-    c = make_crystal(rng, n_atoms=n_atoms, species=(6, 14), cell_size=10.0,
+    c = make_crystal(rng, n_atoms=n_atoms, species=(6, 14), cell_size=13.0,
                      cutoff=cutoff)
     c = add_random_hamiltonian_targets(rng, c, nao_max=19)
     n_edges = c["edge_index"].shape[1]
@@ -61,7 +61,7 @@ def main():
         "representation_nets": {"HamGNN_pre": {
             "irreps_node_features": "64x0e+32x0o+24x1o+12x1e+12x2e+6x2o+4x3o+4x3e+2x4e",
             "irreps_edge_sh": "0e + 1o + 2e + 3o + 4e",
-            "num_layers": 3, "num_radial": 64, "cutoff": 6.0,
+            "num_layers": 3, "num_radial": 64, "cutoff": 7.0,
             "radial_MLP": [64, 64], "num_types": 96,
         }},
         "output_nets": {"HamGNN_out": {"nao_max": 19, "zero_point_shift": False}},

@@ -33,34 +33,34 @@ class Linear(fnn.Module):
         self._out = irreps_out
         self._in_slices = irreps_in.slices()
 
-        # for each output chunk: list of matching input chunk indices
+        # for each output chunk: matching input chunks and the offset of its
+        # weight block inside ONE flat parameter (keeping the whole layer a
+        # single optimizer leaf — hundreds of tiny leaves make Adam updates
+        # kernel-launch-bound on a remote accelerator)
         plans = []
-        ws = []
+        total = 0
         for k, mio in enumerate(irreps_out):
             sources = [i for i, mi in enumerate(irreps_in) if mi.ir == mio.ir]
             fan_in = sum(irreps_in[i].mul for i in sources)
-            if fan_in > 0:
-                w = self.param(
-                    f"w{k}", fnn.initializers.normal(stddev=1.0), (fan_in, mio.mul)
-                )
-            else:
-                w = None
-            plans.append((sources, fan_in))
-            ws.append(w)
+            plans.append((sources, fan_in, total))
+            total += fan_in * mio.mul
         self._plans = plans
-        self._ws = ws
+        self._w = (
+            self.param("w", fnn.initializers.normal(stddev=1.0), (total,))
+            if total > 0 else None
+        )
 
     def __call__(self, x):
         irreps_in, irreps_out = self._in, self._out
         out_chunks = []
         for k, mio in enumerate(irreps_out):
-            sources, fan_in = self._plans[k]
-            w = self._ws[k]
-            if w is None:
+            sources, fan_in, ofs = self._plans[k]
+            if fan_in == 0:
                 out_chunks.append(
                     jnp.zeros(x.shape[:-1] + (mio.dim,), dtype=x.dtype)
                 )
                 continue
+            w = self._w[ofs : ofs + fan_in * mio.mul].reshape(fan_in, mio.mul)
             xs = []
             for i in sources:
                 mi = irreps_in[i]
