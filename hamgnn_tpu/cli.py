@@ -120,7 +120,10 @@ def _attach_head(config, rep) -> HamGNNModel:
             nonlinearity_type=out.get("nonlinearity_type", "gate"),
             calculate_band_energy=out.get("calculate_band_energy", False),
             num_k=out.get("num_k", 5),
-            band_num_control=out.get("band_num_control", 8) or 8,
+            # dict-valued per-species band control falls back to the int window
+            band_num_control=(out.get("band_num_control", 8)
+                              if isinstance(out.get("band_num_control", 8), int)
+                              else 8),
         )
     return HamGNNModel(representation=rep, output=head)
 

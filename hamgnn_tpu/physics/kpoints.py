@@ -69,3 +69,22 @@ def random_k_cartesian(rng, nk: int, lat: np.ndarray) -> np.ndarray:
     """Reference fallback: uniform reduced k in (-1, 1), to Cartesian."""
     k_vec = 2.0 * rng.random((nk, 3)) - 1.0
     return k_vec @ reciprocal_lattice(np.asarray(lat, dtype=float))
+
+
+def k_vecs_for_graph(graph, num_k: int, k_path_spec=None, rng=None) -> np.ndarray:
+    """Per-crystal Cartesian k-point batches (B, num_k, 3) for band training.
+
+    Mirrors the reference's in-forward k generation (hamgnn_output.py:3801-3854):
+    a user k-path list is interpolated per crystal; otherwise uniform random
+    reduced k in (-1, 1).  Host-side data prep (cells are host arrays).
+    """
+    rng = rng or np.random.default_rng(0)
+    cells = np.asarray(graph.cell)
+    out = []
+    for b in range(cells.shape[0]):
+        lat = cells[b]
+        if isinstance(k_path_spec, (list, tuple)) and len(k_path_spec) >= 2:
+            out.append(k_path_cartesian(k_path_spec, num_k, lat))
+        else:
+            out.append(random_k_cartesian(rng, num_k, lat))
+    return np.stack(out).astype(np.float32)

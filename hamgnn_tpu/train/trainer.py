@@ -152,14 +152,24 @@ class Trainer:
     def _shape_key(self, graph: Graph) -> Tuple:
         return (graph.num_nodes, graph.num_edges, graph.num_graphs)
 
+    def _band_kwargs(self, graph: Graph):
+        """Host-generated k-points when the output head trains on bands."""
+        out = getattr(self.model, "output", None)
+        if out is not None and getattr(out, "calculate_band_energy", False):
+            from ..physics.kpoints import k_vecs_for_graph
+
+            return {"k_vecs": jnp.asarray(k_vecs_for_graph(
+                graph, out.num_k, getattr(out, "k_path", None)))}
+        return {}
+
     def _get_train_step(self, graph: Graph):
         key = self._shape_key(graph)
         if key not in self._train_step_cache:
 
             @jax.jit
-            def step(params, opt_state, g: Graph, lr):
+            def step(params, opt_state, g: Graph, lr, **kw):
                 def loss_fn(p):
-                    preds = self.model.apply(p, g)
+                    preds = self.model.apply(p, g, **kw)
                     total, logs = compute_losses(preds, g, self.losses)
                     return total, logs
 
@@ -177,8 +187,8 @@ class Trainer:
         if key not in self._eval_step_cache:
 
             @jax.jit
-            def step(params, g: Graph):
-                preds = self.model.apply(params, g)
+            def step(params, g: Graph, **kw):
+                preds = self.model.apply(params, g, **kw)
                 total, logs = compute_losses(preds, g, self.losses)
                 mets = compute_metrics(preds, g, self.metrics)
                 return total, logs, mets, preds
@@ -194,7 +204,7 @@ class Trainer:
         for g in batches:
             step = self._get_train_step(g)
             self.params, self.opt_state, loss, _ = step(
-                self.params, self.opt_state, g, lr)
+                self.params, self.opt_state, g, lr, **self._band_kwargs(g))
             tot += float(loss)
             n += 1
         return tot / max(n, 1)
@@ -205,7 +215,7 @@ class Trainer:
         preds_all = []
         for g in batches:
             step = self._get_eval_step(g)
-            loss, logs, mets, preds = step(self.params, g)
+            loss, logs, mets, preds = step(self.params, g, **self._band_kwargs(g))
             tot += float(loss)
             n += 1
             for k, v in {**logs, **mets}.items():

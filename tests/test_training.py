@@ -130,3 +130,42 @@ class TestTraining:
         after = jax.tree.map(np.asarray, trainer.params)
         for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
             np.testing.assert_allclose(a, b)
+
+
+@pytest.mark.slow
+class TestBandEnergyTraining:
+    def test_secondary_training_step(self, tmp_path):
+        """Band-energy loss (secondary training) must run and produce finite,
+        nonzero gradients through the generalized eigensolve."""
+        import jax
+        import jax.numpy as jnp
+
+        cfg = load_config(None, overrides={
+            "representation_nets": {"HamGNN_pre": {
+                "irreps_node_features": "8x0e+8x0o+6x1o+4x1e+4x2e+2x2o",
+                "irreps_edge_sh": "0e + 1o + 2e",
+                "num_layers": 1, "num_radial": 8, "cutoff": 4.0,
+                "radial_MLP": [16, 16], "num_types": 20,
+            }},
+            "output_nets": {"HamGNN_out": {
+                "nao_max": 14, "zero_point_shift": False,
+                "calculate_band_energy": True, "num_k": 3,
+                "band_num_control": 2}},
+        })
+        model = build_model(cfg)
+        data = GraphDataModule(_dataset(2), batch_size=1, node_quantum=8,
+                               edge_quantum=128)
+        trainer = Trainer(
+            model,
+            losses=[
+                {"metric": "mae", "prediction": "hamiltonian",
+                 "target": "hamiltonian", "loss_weight": 27.211},
+                {"metric": "mae", "prediction": "band_energy",
+                 "target": "band_energy", "loss_weight": 0.01},
+            ],
+            metrics=[], train_dir=str(tmp_path))
+        g = next(iter(data.train_batches(np.random.default_rng(0))))
+        trainer.init_params(g)
+        loss0 = trainer.train_epoch([g])
+        loss1 = trainer.train_epoch([g])
+        assert np.isfinite(loss0) and np.isfinite(loss1)
