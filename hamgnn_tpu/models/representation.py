@@ -264,3 +264,29 @@ class HamGNNTransformer(fnn.Module):
             )(node_feats, edge_feats, edge_sh, edge_scalars, graph.edge_index)
 
         return {"node_attr": node_feats, "edge_attr": edge_feats}
+
+
+class ElectronConfigurationEmbedding(fnn.Module):
+    """Z -> feature embedding combining a learned per-element table with a
+    linear map of the (scaled) electron configuration (reference
+    nn/embeddings.py:344-360 ``Embedding``)."""
+
+    num_features: int
+    zmax: int = 87
+
+    @fnn.compact
+    def __call__(self, z):
+        import numpy as _np
+
+        from ..nn.electron_configurations import electron_configurations
+
+        table = jnp.asarray(_np.asarray(electron_configurations, _np.float32))
+        elem = self.param(
+            "element_embedding",
+            fnn.initializers.uniform(scale=2 * _np.sqrt(3)),
+            (self.zmax, self.num_features))
+        elem = elem - _np.sqrt(3)  # uniform(-sqrt3, sqrt3) like the reference
+        w = self.param("config_linear",
+                       fnn.initializers.orthogonal(), (table.shape[1], self.num_features))
+        emb = elem + table @ w
+        return emb[z]

@@ -112,3 +112,35 @@ class TestBandCal:
         want = np.stack([scipy.linalg.eigh(HK[k], SK[k], eigvals_only=True)
                          for k in range(nk)])
         np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+class TestWfnExport:
+    def test_cube_writer(self, tmp_path, band_fixture):
+        from hamgnn_tpu.models.basis import get_basis_set
+        from hamgnn_tpu.tools.wfn_export import density_on_grid, write_cube
+
+        c = band_fixture
+        basis = get_basis_set("openmx", 14)
+        n_orb = sum(len(basis.basis_def[int(zz)]) for zz in c["z"])
+        coeffs = np.random.default_rng(0).normal(size=n_orb) \
+            + 1j * np.random.default_rng(1).normal(size=n_orb)
+        rho = density_on_grid(c, coeffs, basis, 14, grid_shape=(8, 8, 8))
+        assert rho.shape == (8, 8, 8)
+        assert np.isfinite(rho).all() and (rho >= 0).all()
+        p = str(tmp_path / "b.cube")
+        write_cube(p, np.asarray(c["cell"]).reshape(3, 3),
+                   np.asarray(c["pos"]), np.asarray(c["z"], int), rho)
+        head = open(p).read().splitlines()
+        assert int(head[2].split()[0]) == len(c["z"])
+
+
+class TestVisualization:
+    def test_scatter(self, tmp_path):
+        from hamgnn_tpu.utils.visualization import scatter_plot
+
+        rng = np.random.default_rng(0)
+        t = rng.normal(size=1000)
+        mae = scatter_plot(t + 0.01 * rng.normal(size=1000), t,
+                           str(tmp_path / "s.png"))
+        assert 0.005 < mae < 0.02
+        assert (tmp_path / "s.png").exists()
