@@ -200,10 +200,17 @@ def _save_predictions(config, preds_all) -> None:
         preds.append(concatenate_by_crystal(g, p["hamiltonian_on"], p["hamiltonian_off"]))
         targets.append(concatenate_by_crystal(g, np.asarray(g.Hon), np.asarray(g.Hoff)))
     if preds:
-        np.save(os.path.join(out_dir, "prediction_hamiltonian.npy"),
-                np.concatenate(preds, axis=0))
-        np.save(os.path.join(out_dir, "target_hamiltonian.npy"),
-                np.concatenate(targets, axis=0))
+        pred_all = np.concatenate(preds, axis=0)
+        target_all = np.concatenate(targets, axis=0)
+        np.save(os.path.join(out_dir, "prediction_hamiltonian.npy"), pred_all)
+        np.save(os.path.join(out_dir, "target_hamiltonian.npy"), target_all)
+        try:  # pred-vs-target scatter, like the reference's TB figures
+            from .utils.visualization import scatter_plot
+
+            scatter_plot(pred_all, target_all,
+                         os.path.join(out_dir, "hamiltonian_scatter.png"))
+        except Exception as exc:
+            print(f"scatter plot skipped: {exc}")
 
 
 def main(argv: Optional[list] = None) -> None:

@@ -208,3 +208,27 @@ class TestBandStructure:
         start = max(0, half - num_bands)
         want = evs[:, start : start + 2 * num_bands]
         np.testing.assert_allclose(band[0], want, atol=2e-3, rtol=1e-4)
+
+
+class TestParity:
+    def test_full_pipeline_inversion(self, setup):
+        """Under spatial inversion, blocks conjugate by the parity-signed
+        orbital representation: D = diag((-1)^l per orbital)."""
+        graph, rep, out, p_rep, p_out, feats, res = setup
+        inv_graph = graph.replace(pos=-graph.pos, nbr_shift=-graph.nbr_shift,
+                                  cell=-graph.cell)
+        feats_inv = rep.apply(p_rep, inv_graph)
+        res_inv = out.apply(p_out, inv_graph, feats_inv)
+
+        basis = get_basis_set("openmx", 14)
+        signs = []
+        for _, ir in basis.orbital_irreps:
+            signs += [(-1.0) ** ir.l] * ir.dim
+        signs = np.asarray(signs)
+        if basis.index_change is not None:
+            signs = signs[basis.index_change]
+        P = signs[:, None] * signs[None, :]
+
+        h = np.asarray(res["hamiltonian_on"]).reshape(-1, 14, 14)
+        h_inv = np.asarray(res_inv["hamiltonian_on"]).reshape(-1, 14, 14)
+        np.testing.assert_allclose(h_inv, h * P[None], atol=5e-4)
