@@ -212,3 +212,37 @@ class TestABACUS:
         dense = c["Hon"][0].reshape(27, 27)
         np.testing.assert_allclose(dense[idx[:, None], idx[None, :]],
                                    H0[:13, :13] * RY2HA)
+
+
+class TestStruRoundtrip:
+    def test_poscar_to_stru_to_parse(self, tmp_path):
+        from hamgnn_tpu.tools.poscar2abacus import write_stru
+        from hamgnn_tpu.tools.poscar2openmx import read_poscar
+
+        poscar = tmp_path / "POSCAR"
+        poscar.write_text(
+            "C2\n1.0\n  4.0 0.0 0.0\n  0.0 4.0 0.0\n  0.0 0.0 4.0\n"
+            "C\n2\nDirect\n  0.0 0.0 0.0\n  0.5 0.5 0.5\n")
+        cell, syms, pos = read_poscar(str(poscar))
+        stru_p = tmp_path / "STRU"
+        write_stru(cell, syms, pos, {}, {"C": "C_gga_7au_100Ry_2s2p1d.orb"},
+                   str(stru_p))
+        stru = parse_stru(str(stru_p))
+        assert stru.species == ["C"]
+        assert stru.num_orbitals == [13]
+        # positions round-trip: STRU is in Bohr
+        np.testing.assert_allclose(
+            stru.positions * 0.5291772490000065 / 1.0000000, pos, atol=2e-4)
+
+    def test_fdf_roundtrip(self, tmp_path):
+        from hamgnn_tpu.interfaces.siesta import parse_fdf
+        from hamgnn_tpu.tools.poscar2abacus import write_fdf
+
+        cell = np.eye(3) * 5.0
+        pos = np.array([[0.0, 0, 0], [2.5, 2.5, 2.5]])
+        p = str(tmp_path / "t.fdf")
+        write_fdf(cell, ["Si", "Si"], pos, "# head\n", p)
+        # add Si to the Z map context: write_fdf uses default Z=14 via _Z
+        fdf = parse_fdf(p)
+        np.testing.assert_allclose(fdf.cell * 0.5291772490000065, cell, atol=1e-5)
+        np.testing.assert_allclose(fdf.pos * 0.5291772490000065, pos, atol=1e-5)
