@@ -23,20 +23,21 @@ import numpy as np
 TARGET_EDGES_PER_S = 50_000.0
 
 
-def build_bench_case(n_atoms=96, cutoff=6.0):
+def build_bench_case(n_atoms=256, cutoff=6.0):
     from util_fixtures import add_random_hamiltonian_targets, make_crystal
 
     from hamgnn_tpu.data.graph import pad_and_batch
 
     rng = np.random.default_rng(0)
-    c = make_crystal(rng, n_atoms=n_atoms, species=(6, 14), cell_size=13.0,
+    cell_size = {96: 13.0, 256: 18.0, 512: 23.0}.get(n_atoms, 18.0)
+    c = make_crystal(rng, n_atoms=n_atoms, species=(6, 14), cell_size=cell_size,
                      cutoff=cutoff)
     c = add_random_hamiltonian_targets(rng, c, nao_max=19)
     n_edges = c["edge_index"].shape[1]
     graph = pad_and_batch(
         [c],
         node_bucket=((n_atoms + 15) // 16) * 16,
-        edge_bucket=((n_edges + 255) // 256) * 256,
+        edge_bucket=((n_edges + 511) // 512) * 512,
     )
     return graph, n_edges
 
