@@ -103,3 +103,40 @@ class TestSharding:
             t, _ = compute_losses(preds, g, LOSSES)
             singles.append(float(t))
         np.testing.assert_allclose(float(total), np.mean(singles), atol=1e-5)
+
+
+class TestParallelTrainer:
+    def test_training_reduces_loss(self):
+        from hamgnn_tpu.parallel.trainer import ParallelTrainer
+
+        cfg = load_config(None, overrides={
+            "representation_nets": {"HamGNN_pre": {
+                "irreps_node_features": "8x0e+8x0o+6x1o+4x1e+4x2e",
+                "irreps_edge_sh": "0e + 1o + 2e",
+                "num_layers": 1, "num_radial": 8, "cutoff": 4.0,
+                "radial_MLP": [16, 16], "num_types": 20}},
+            "output_nets": {"HamGNN_out": {"nao_max": 14,
+                                           "zero_point_shift": False}},
+        })
+        model = build_model(cfg)
+        rng = np.random.default_rng(0)
+        crystals = []
+        for _ in range(4):
+            c = add_random_hamiltonian_targets(
+                rng, make_crystal(rng, n_atoms=3, species=(1, 6)))
+            c["Hon0"] = c["Hon"].copy()
+            c["Hoff0"] = c["Hoff"].copy()
+            crystals.append(c)
+
+        trainer = ParallelTrainer(
+            model, losses=LOSSES, metrics=[], lr=0.02,
+            n_data=2, n_graph=4, node_quantum=8, edge_quantum=128,
+            train_dir="/tmp/ptr")
+        example = pad_and_batch([crystals[0]], node_bucket=8, edge_bucket=128)
+        trainer.init_params(example)
+        first = trainer.eval_epoch_crystals(crystals)
+        for _ in range(15):
+            trainer.train_epoch_crystals(crystals, np.random.default_rng(1))
+        last = trainer.eval_epoch_crystals(crystals)
+        assert np.isfinite(first) and np.isfinite(last)
+        assert last < 0.7 * first, (first, last)
