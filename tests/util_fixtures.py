@@ -15,33 +15,39 @@ def make_crystal(rng, n_atoms=4, species=(6, 14), cell_size=6.0, cutoff=4.0):
     pos = frac @ cell
     z = rng.choice(species, size=n_atoms)
 
-    # brute-force PBC neighbor list over 3^3 images
-    src, dst, shifts, cshifts = [], [], [], []
-    for i in range(n_atoms):
-        for j in range(n_atoms):
-            for sx in (-1, 0, 1):
-                for sy in (-1, 0, 1):
-                    for sz in (-1, 0, 1):
-                        S = np.array([sx, sy, sz])
-                        d = pos[j] + S @ cell - pos[i]
-                        r = np.linalg.norm(d)
-                        if 1e-6 < r < cutoff:
-                            src.append(i)
-                            dst.append(j)
-                            shifts.append(S @ cell)
-                            cshifts.append(S)
-    edge_index = np.array([src, dst], dtype=np.int64)
-    nbr_shift = np.array(shifts, dtype=np.float64).reshape(-1, 3)
-    cell_shift = np.array(cshifts, dtype=np.int64).reshape(-1, 3)
+    if n_atoms <= 16:
+        # brute-force PBC neighbor list over 3^3 images (independent reference
+        # implementation used by the neighbor-list parity test)
+        src, dst, shifts, cshifts = [], [], [], []
+        for i in range(n_atoms):
+            for j in range(n_atoms):
+                for sx in (-1, 0, 1):
+                    for sy in (-1, 0, 1):
+                        for sz in (-1, 0, 1):
+                            S = np.array([sx, sy, sz])
+                            d = pos[j] + S @ cell - pos[i]
+                            r = np.linalg.norm(d)
+                            if 1e-6 < r < cutoff:
+                                src.append(i)
+                                dst.append(j)
+                                shifts.append(S @ cell)
+                                cshifts.append(S)
+        edge_index = np.array([src, dst], dtype=np.int64)
+        nbr_shift = np.array(shifts, dtype=np.float64).reshape(-1, 3)
+        cell_shift = np.array(cshifts, dtype=np.int64).reshape(-1, 3)
+        ne = edge_index.shape[1]
+        inv = np.zeros(ne, dtype=np.int64)
+        key = {}
+        for e in range(ne):
+            key[(src[e], dst[e], tuple(cshifts[e]))] = e
+        for e in range(ne):
+            inv[e] = key[(dst[e], src[e], tuple(-cell_shift[e]))]
+    else:
+        # large systems: the framework's vectorized neighbor list
+        from hamgnn_tpu.data.neighborlist import inverse_edge_index, neighbor_list_pbc
 
-    # inverse edge: edge (i,j,S) <-> (j,i,-S)
-    ne = edge_index.shape[1]
-    inv = np.zeros(ne, dtype=np.int64)
-    key = {}
-    for e in range(ne):
-        key[(src[e], dst[e], tuple(cshifts[e]))] = e
-    for e in range(ne):
-        inv[e] = key[(dst[e], src[e], tuple(-cell_shift[e]))]
+        edge_index, cell_shift, nbr_shift = neighbor_list_pbc(pos, cell, cutoff)
+        inv = inverse_edge_index(edge_index, cell_shift)
 
     return {
         "z": z.astype(np.int64),
