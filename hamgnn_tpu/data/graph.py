@@ -58,6 +58,8 @@ class Graph:
     Soff: Optional[jnp.ndarray] = None
     Lon: Optional[jnp.ndarray] = None
     Loff: Optional[jnp.ndarray] = None
+    dSon: Optional[jnp.ndarray] = None   # (N, nao^2, 3) overlap derivatives
+    dSoff: Optional[jnp.ndarray] = None  # (E, nao^2, 3)
 
     @property
     def num_nodes(self) -> int:
@@ -78,9 +80,9 @@ class Graph:
 
 _TARGET_FIELDS = (
     "Hon", "Hoff", "Hon0", "Hoff0", "iHon", "iHoff", "iHon0", "iHoff0",
-    "Son", "Soff", "Lon", "Loff",
+    "Son", "Soff", "Lon", "Loff", "dSon", "dSoff",
 )
-_NODE_FIELDS = {"Hon", "Hon0", "iHon", "iHon0", "Son", "Lon"}
+_NODE_FIELDS = {"Hon", "Hon0", "iHon", "iHon0", "Son", "Lon", "dSon"}
 
 
 def _round_up(x: int, m: int) -> int:

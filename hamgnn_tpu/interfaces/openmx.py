@@ -51,6 +51,8 @@ class ScfoutData:
     Soff: List[np.ndarray]
     Lon: Optional[List[np.ndarray]]   # (no_i, no_i, 3)
     Loff: Optional[List[np.ndarray]]
+    dSon: Optional[List[np.ndarray]] = None   # overlap derivative blocks
+    dSoff: Optional[List[np.ndarray]] = None
     chemp: float = 0.0
     valence_electrons: float = 0.0
 
@@ -122,9 +124,10 @@ def parse_scfout(path: str, with_postprocess_ext: bool = True) -> ScfoutData:
     ihks = read_blocks(3) if spinp == 3 else None
     olp = read_blocks(1)[0]
     if with_postprocess_ext:
-        _dolp = read_blocks(1, vec=3)[0]  # overlap derivatives (dS)
+        dolp = read_blocks(1, vec=3)[0]   # overlap derivatives (dS)
         olp_l = read_blocks(1, vec=3)[0]  # angular momentum matrices
     else:
+        dolp = None
         olp_l = None
     _dm = read_blocks(spinp + 1)
     _idm = read_blocks(2)
@@ -161,6 +164,8 @@ def parse_scfout(path: str, with_postprocess_ext: bool = True) -> ScfoutData:
         Son=olp[0], Soff=olp[1],
         Lon=olp_l[0] if olp_l else None,
         Loff=olp_l[1] if olp_l else None,
+        dSon=dolp[0] if dolp else None,
+        dSoff=dolp[1] if dolp else None,
         chemp=chemp, valence_electrons=valence,
     )
 
@@ -298,6 +303,13 @@ def pack_crystal(
         H0r_off, H0i_off = soc_rows(scf0.Hoff, scf0.iHoff, False)
         out["Hon0"], out["iHon0"] = H0r_on, H0i_on
         out["Hoff0"], out["iHoff0"] = H0r_off, H0i_off
+    if scf.dSon is not None:
+        out["dSon"] = np.stack([
+            _dense_rows([b[..., k] for b in scf.dSon], z, z, basis, nao)
+            for k in range(3)], axis=-1)
+        out["dSoff"] = np.stack([
+            _dense_rows([b[..., k] for b in scf.dSoff], z[src], z[dst], basis, nao)
+            for k in range(3)], axis=-1)
     if scf.Lon is not None:
         out["Lon"] = np.stack([
             _dense_rows([b[..., k] for b in scf.Lon], z, z, basis, nao)

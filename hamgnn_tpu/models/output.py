@@ -122,6 +122,7 @@ class HamGNNPlusPlusOut(fnn.Module):
     num_k: int = 5
     band_num_control: int = 8
     export_mask: bool = True
+    export_reciprocal_values: bool = False
 
     def _basis(self) -> BasisSetInfo:
         return get_basis_set(self.ham_type, self.nao_max)
@@ -223,9 +224,18 @@ class HamGNNPlusPlusOut(fnn.Module):
         if self.calculate_band_energy and k_vecs is not None:
             from ..physics.band import band_energies_batched
 
-            band, wfn, gap = band_energies_batched(
-                graph, h_on, h_off, graph.Son, graph.Soff, k_vecs, basis,
-                num_bands=self.band_num_control)
+            if self.export_reciprocal_values:
+                band, wfn, gap, *recip = band_energies_batched(
+                    graph, h_on, h_off, graph.Son, graph.Soff, k_vecs, basis,
+                    num_bands=self.band_num_control, export_reciprocal=True)
+                result["HK"] = recip[0]
+                result["SK"] = recip[1]
+                if len(recip) > 2:
+                    result["dSK"] = recip[2]
+            else:
+                band, wfn, gap = band_energies_batched(
+                    graph, h_on, h_off, graph.Son, graph.Soff, k_vecs, basis,
+                    num_bands=self.band_num_control)
             result["band_energy"] = band
             result["wavefunction"] = wfn
             result["band_gap"] = gap

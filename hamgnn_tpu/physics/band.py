@@ -81,11 +81,14 @@ def band_energies_batched(
     basis: BasisSetInfo,
     num_bands: int = 8,
     max_atoms: Optional[int] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    export_reciprocal: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
     """Generalized bands around half filling.
 
     Returns (band_energy (B, nk, 2*num_bands), wavefunction
-    (B, nk, 2*num_bands, M*nao), band_gap (B,)).
+    (B, nk, 2*num_bands, M*nao), band_gap (B,)); with ``export_reciprocal``
+    also (HK, SK[, dSK]) — the reference's export_reciprocal_values surface
+    (hamgnn_output.py:1760-1989).
     """
     nao = basis.nao_max
     M = int(max_atoms) if max_atoms is not None else int(graph.num_nodes)
@@ -150,4 +153,12 @@ def band_energies_batched(
 
     band, wfn = jax.vmap(take_window)(eigvals, psi, start)
     wfn = jnp.swapaxes(wfn, -1, -2)  # (B, nk, 2w, Mnao)
+    if export_reciprocal:
+        extras = [HK, SK]
+        if graph.dSon is not None and graph.dSoff is not None:
+            dsk = [assemble_k_matrices(
+                graph, graph.dSon[..., k_ax], graph.dSoff[..., k_ax],
+                k_vecs, nao, M) for k_ax in range(3)]
+            extras.append(jnp.stack(dsk, axis=-1))
+        return (band, wfn, gap, *extras)
     return band, wfn, gap

@@ -232,3 +232,29 @@ class TestParity:
         h = np.asarray(res["hamiltonian_on"]).reshape(-1, 14, 14)
         h_inv = np.asarray(res_inv["hamiltonian_on"]).reshape(-1, 14, 14)
         np.testing.assert_allclose(h_inv, h * P[None], atol=5e-4)
+
+
+class TestReciprocalExport:
+    def test_hk_sk_export(self):
+        rng = np.random.default_rng(21)
+        c = add_random_hamiltonian_targets(rng, make_crystal(rng, n_atoms=3,
+                                                             species=(6, 14)))
+        # overlap derivatives
+        n, e = len(c["z"]), c["edge_index"].shape[1]
+        c["dSon"] = 0.01 * rng.normal(size=(n, 196, 3))
+        c["dSoff"] = 0.01 * rng.normal(size=(e, 196, 3))
+        graph = pad_and_batch([c], bucket_multiple=8)
+        basis = get_basis_set("openmx", 14)
+        k_vecs = np.asarray(random_k_cartesian(rng, 3, np.asarray(c["cell"][0])),
+                            np.float32)[None]
+        out = band_energies_batched(
+            graph, graph.Hon, graph.Hoff, graph.Son, graph.Soff, k_vecs, basis,
+            num_bands=2, max_atoms=3, export_reciprocal=True)
+        band, wfn, gap, HK, SK, dSK = out
+        norb = 3 * 14
+        assert HK.shape == (1, 3, norb, norb)
+        assert SK.shape == (1, 3, norb, norb)
+        assert dSK.shape == (1, 3, norb, norb, 3)
+        # HK Hermitian (after masking + padding)
+        hk = np.asarray(HK)[0, 0]
+        np.testing.assert_allclose(hk, hk.conj().T, atol=1e-5)

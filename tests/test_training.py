@@ -169,3 +169,36 @@ class TestBandEnergyTraining:
         loss0 = trainer.train_epoch([g])
         loss1 = trainer.train_epoch([g])
         assert np.isfinite(loss0) and np.isfinite(loss1)
+
+
+@pytest.mark.slow
+class TestOverlapFitting:
+    def test_ham_only_false(self, tmp_path):
+        """ham_only=False trains both H and S heads (reference config option)."""
+        cfg = load_config(None, overrides={
+            "representation_nets": {"HamGNN_pre": {
+                "irreps_node_features": "8x0e+8x0o+6x1o+4x1e+4x2e+2x2o",
+                "irreps_edge_sh": "0e + 1o + 2e",
+                "num_layers": 1, "num_radial": 8, "cutoff": 4.0,
+                "radial_MLP": [16, 16], "num_types": 20,
+            }},
+            "output_nets": {"HamGNN_out": {
+                "nao_max": 14, "zero_point_shift": False, "ham_only": False}},
+        })
+        model = build_model(cfg)
+        data = GraphDataModule(_dataset(2), batch_size=1, node_quantum=8,
+                               edge_quantum=128)
+        trainer = Trainer(
+            model,
+            losses=[
+                {"metric": "mae", "prediction": "hamiltonian",
+                 "target": "hamiltonian", "loss_weight": 27.211},
+                {"metric": "mae", "prediction": "overlap",
+                 "target": "overlap", "loss_weight": 1.0},
+            ],
+            metrics=[], train_dir=str(tmp_path))
+        g = next(iter(data.train_batches(np.random.default_rng(0))))
+        trainer.init_params(g)
+        l0 = trainer.train_epoch([g])
+        l1 = trainer.train_epoch([g])
+        assert np.isfinite(l0) and np.isfinite(l1)
