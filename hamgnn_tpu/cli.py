@@ -70,6 +70,32 @@ def build_model(config) -> HamGNNModel:
     return _attach_head(config, rep)
 
 
+def _band_control_kwargs(out) -> dict:
+    """Map the reference's int/dict ``band_num_control``
+    (hamgnn_output.py:812-830) onto the static-shape head attributes.
+
+    int -> window of that many bands either side of half filling.
+    dict {Z: count} -> per-species counts; the head exports the lowest
+    ``max_bands`` (config key, default 32) bands plus a per-crystal mask.
+    Float mode (fraction of the half-filling index, :1945-1946) has no
+    static-shape equivalent and is rejected explicitly.
+    """
+    bnc = out.get("band_num_control", 8)
+    if bnc is None:
+        bnc = 8
+    if isinstance(bnc, int):
+        return {"band_num_control": bnc}
+    if isinstance(bnc, dict):
+        counts = tuple(sorted((int(z), int(n)) for z, n in bnc.items()))
+        return {
+            "band_num_control": int(out.get("max_bands", 32)),
+            "band_species_counts": counts,
+        }
+    raise NotImplementedError(
+        f"band_num_control={bnc!r}: float (fractional window) mode needs "
+        "dynamic shapes; use an int window or a per-species dict")
+
+
 def _attach_head(config, rep) -> HamGNNModel:
     pre = config.representation_nets.HamGNN_pre
     out = config.output_nets.HamGNN_out
@@ -120,10 +146,7 @@ def _attach_head(config, rep) -> HamGNNModel:
             nonlinearity_type=out.get("nonlinearity_type", "gate"),
             calculate_band_energy=out.get("calculate_band_energy", False),
             num_k=out.get("num_k", 5),
-            # dict-valued per-species band control falls back to the int window
-            band_num_control=(out.get("band_num_control", 8)
-                              if isinstance(out.get("band_num_control", 8), int)
-                              else 8),
+            **_band_control_kwargs(out),
         )
     return HamGNNModel(representation=rep, output=head)
 

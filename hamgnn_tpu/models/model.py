@@ -49,7 +49,12 @@ def _stack_pred_target(name: str, preds: Dict, graph: Graph):
     if nm == "band_energy":
         pred = preds["band_energy"]
         target = preds["band_energy_ref"]
-        mask = jnp.ones(pred.shape[:1] + (1,) * (pred.ndim - 1), pred.dtype)
+        if "band_mask" in preds:
+            # per-species band_num_control: only bands below the per-crystal
+            # count are physical (reference hamgnn_output.py:1939-1942)
+            mask = jnp.broadcast_to(preds["band_mask"], pred.shape)
+        else:
+            mask = jnp.ones(pred.shape[:1] + (1,) * (pred.ndim - 1), pred.dtype)
         return pred, target, mask
     if nm == "band_gap":
         pred = preds["band_gap"]

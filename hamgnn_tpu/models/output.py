@@ -121,6 +121,11 @@ class HamGNNPlusPlusOut(fnn.Module):
     calculate_band_energy: bool = False
     num_k: int = 5
     band_num_control: int = 8
+    # dict-valued band_num_control (reference hamgnn_output.py:1736-1742,
+    # 1939-1942): per-species counts as a hashable ((z, count), ...) tuple.
+    # When set, the lowest `band_num_control` bands are exported with a
+    # per-crystal validity mask instead of a window around half filling.
+    band_species_counts: Optional[Tuple[Tuple[int, int], ...]] = None
     export_mask: bool = True
     export_reciprocal_values: bool = False
 
@@ -222,27 +227,33 @@ class HamGNNPlusPlusOut(fnn.Module):
 
         # --- band energies -----------------------------------------------
         if self.calculate_band_energy and k_vecs is not None:
-            from ..physics.band import band_energies_batched
+            from ..physics.band import band_counts_per_crystal, band_energies_batched
 
+            band_counts = None
+            if self.band_species_counts is not None:
+                band_counts = band_counts_per_crystal(graph, self.band_species_counts)
+
+            out = band_energies_batched(
+                graph, h_on, h_off, graph.Son, graph.Soff, k_vecs, basis,
+                num_bands=self.band_num_control,
+                export_reciprocal=self.export_reciprocal_values,
+                band_counts=band_counts)
+            band, wfn, gap, *extras = out
+            if band_counts is not None:
+                result["band_mask"] = extras.pop(0)
             if self.export_reciprocal_values:
-                band, wfn, gap, *recip = band_energies_batched(
-                    graph, h_on, h_off, graph.Son, graph.Soff, k_vecs, basis,
-                    num_bands=self.band_num_control, export_reciprocal=True)
-                result["HK"] = recip[0]
-                result["SK"] = recip[1]
-                if len(recip) > 2:
-                    result["dSK"] = recip[2]
-            else:
-                band, wfn, gap = band_energies_batched(
-                    graph, h_on, h_off, graph.Son, graph.Soff, k_vecs, basis,
-                    num_bands=self.band_num_control)
+                result["HK"] = extras[0]
+                result["SK"] = extras[1]
+                if len(extras) > 2:
+                    result["dSK"] = extras[2]
             result["band_energy"] = band
             result["wavefunction"] = wfn
             result["band_gap"] = gap
-            ref_band, _, ref_gap = band_energies_batched(
+            ref_out = band_energies_batched(
                 graph, jax.lax.stop_gradient(graph.Hon), jax.lax.stop_gradient(graph.Hoff),
                 graph.Son, graph.Soff, k_vecs, basis,
-                num_bands=self.band_num_control)
+                num_bands=self.band_num_control, band_counts=band_counts)
+            ref_band, _, ref_gap = ref_out[0], ref_out[1], ref_out[2]
             result["band_energy_ref"] = ref_band
             result["band_gap_ref"] = ref_gap
             if self.zero_point_shift:

@@ -71,6 +71,22 @@ def assemble_k_matrices(
     return hk
 
 
+def band_counts_per_crystal(graph: Graph, species_counts, num_species: int = 99
+                            ) -> jnp.ndarray:
+    """Per-crystal band counts from a per-species dict (reference's dict-valued
+    ``band_num_control``, hamgnn_output.py:1736-1741): sum the per-atom counts
+    over each crystal.
+
+    ``species_counts``: iterable of (atomic_number, count) pairs.
+    """
+    table = np.zeros(num_species, np.int32)
+    for z, cnt in species_counts:
+        table[int(z)] = int(cnt)
+    per_node = jnp.asarray(table)[graph.z] * graph.node_mask.astype(jnp.int32)
+    return jax.ops.segment_sum(per_node, graph.batch,
+                               num_segments=graph.num_graphs)
+
+
 def band_energies_batched(
     graph: Graph,
     h_on: jnp.ndarray,
@@ -82,6 +98,7 @@ def band_energies_batched(
     num_bands: int = 8,
     max_atoms: Optional[int] = None,
     export_reciprocal: bool = False,
+    band_counts: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, ...]:
     """Generalized bands around half filling.
 
@@ -89,6 +106,15 @@ def band_energies_batched(
     (B, nk, 2*num_bands, M*nao), band_gap (B,)); with ``export_reciprocal``
     also (HK, SK[, dSK]) — the reference's export_reciprocal_values surface
     (hamgnn_output.py:1760-1989).
+
+    With ``band_counts`` (B,) set — the per-species dict mode of the
+    reference's ``band_num_control`` (:1939-1942) — the *lowest* bands are
+    taken instead of a window around half filling: a static block of
+    ``num_bands`` bottom bands is returned plus a ``band_mask``
+    (B, 1, num_bands) flagging the first ``band_counts[b]`` of them, the
+    static-shape equivalent of the reference's per-crystal truncation.
+    Returns (band_energy (B, nk, num_bands), wavefunction, band_gap,
+    band_mask[, HK, SK, dSK]).
     """
     nao = basis.nao_max
     M = int(max_atoms) if max_atoms is not None else int(graph.num_nodes)
@@ -142,23 +168,36 @@ def band_energies_batched(
         - jnp.max(jnp.take_along_axis(eigvals, half[:, None, None] - 1, axis=2), axis=1)
     )[:, 0]
 
-    # static band window [half - w, half + w)
-    w = int(num_bands)
-    start = jnp.clip(half - w, 0, M * nao - 2 * w)
+    if band_counts is not None:
+        # dict mode: lowest `num_bands` bands, masked to per-crystal counts
+        w = min(int(num_bands), M * nao)
+        band = eigvals[:, :, :w]
+        wfn = jnp.swapaxes(psi[:, :, :, :w], -1, -2)       # (B, nk, w, Mnao)
+        band_mask = (jnp.arange(w)[None, :] < band_counts[:, None])
+        band_mask = band_mask.astype(band.dtype)[:, None, :]  # (B, 1, w)
+    else:
+        # static band window [half - w, half + w)
+        w = int(num_bands)
+        start = jnp.clip(half - w, 0, M * nao - 2 * w)
 
-    def take_window(e_b, v_b, s_b):
-        e_w = jax.lax.dynamic_slice_in_dim(e_b, s_b, 2 * w, axis=1)
-        v_w = jax.lax.dynamic_slice_in_dim(v_b, s_b, 2 * w, axis=2)
-        return e_w, v_w
+        def take_window(e_b, v_b, s_b):
+            e_w = jax.lax.dynamic_slice_in_dim(e_b, s_b, 2 * w, axis=1)
+            v_w = jax.lax.dynamic_slice_in_dim(v_b, s_b, 2 * w, axis=2)
+            return e_w, v_w
 
-    band, wfn = jax.vmap(take_window)(eigvals, psi, start)
-    wfn = jnp.swapaxes(wfn, -1, -2)  # (B, nk, 2w, Mnao)
+        band, wfn = jax.vmap(take_window)(eigvals, psi, start)
+        wfn = jnp.swapaxes(wfn, -1, -2)  # (B, nk, 2w, Mnao)
+        band_mask = None
+    extras = []
+    if band_mask is not None:
+        extras.append(band_mask)
     if export_reciprocal:
-        extras = [HK, SK]
+        extras.extend([HK, SK])
         if graph.dSon is not None and graph.dSoff is not None:
             dsk = [assemble_k_matrices(
                 graph, graph.dSon[..., k_ax], graph.dSoff[..., k_ax],
                 k_vecs, nao, M) for k_ax in range(3)]
             extras.append(jnp.stack(dsk, axis=-1))
+    if extras:
         return (band, wfn, gap, *extras)
     return band, wfn, gap

@@ -2,6 +2,7 @@
 and band-structure parity against a straightforward numpy reference solver."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -258,3 +259,83 @@ class TestReciprocalExport:
         # HK Hermitian (after masking + padding)
         hk = np.asarray(HK)[0, 0]
         np.testing.assert_allclose(hk, hk.conj().T, atol=1e-5)
+
+
+class TestDictBandControl:
+    """Per-species dict band_num_control: lowest-N bands + per-crystal mask
+    (reference hamgnn_output.py:1736-1742, 1939-1942)."""
+
+    def test_bottom_bands_and_mask(self):
+        from hamgnn_tpu.physics.band import band_counts_per_crystal
+
+        rng = np.random.default_rng(31)
+        c1 = add_random_hamiltonian_targets(rng, make_crystal(rng, n_atoms=3,
+                                                              species=(6, 14)))
+        c2 = add_random_hamiltonian_targets(rng, make_crystal(rng, n_atoms=2,
+                                                              species=(6, 6)))
+        graph = pad_and_batch([c1, c2], bucket_multiple=8)
+        basis = get_basis_set("openmx", 14)
+        nk = 2
+        k_vecs = np.stack([
+            np.asarray(random_k_cartesian(rng, nk, np.asarray(c["cell"][0])),
+                       np.float32)
+            for c in (c1, c2)])
+
+        species_counts = ((6, 2), (14, 4))
+        counts = np.asarray(band_counts_per_crystal(graph, species_counts))
+        expect = [sum({6: 2, 14: 4}[int(z)] for z in c["z"]) for c in (c1, c2)]
+        np.testing.assert_array_equal(counts, expect)
+
+        max_bands = 12
+        band, wfn, gap, band_mask = band_energies_batched(
+            graph, graph.Hon, graph.Hoff, graph.Son, graph.Soff, k_vecs, basis,
+            num_bands=max_bands, max_atoms=3,
+            band_counts=jnp.asarray(counts))
+        assert band.shape == (2, nk, max_bands)
+        assert band_mask.shape == (2, 1, max_bands)
+        np.testing.assert_array_equal(
+            np.asarray(band_mask[:, 0]).sum(1), np.minimum(expect, max_bands))
+        # bands ascending from the bottom of the spectrum
+        b = np.asarray(band)
+        assert (np.diff(b, axis=-1) >= -1e-5).all()
+
+        # bottom bands agree with a compact scipy solve for crystal 0
+        import scipy.linalg
+
+        z, nao, n = c1["z"], 14, len(c1["z"])
+        table = basis.orbital_mask_table
+        valid = np.concatenate([table[zz] > 0 for zz in z])
+        Hon = c1["Hon"].reshape(n, nao, nao)
+        Hoff = c1["Hoff"].reshape(-1, nao, nao)
+        Son = c1["Son"].reshape(n, nao, nao)
+        Soff = c1["Soff"].reshape(-1, nao, nao)
+        src, dst = c1["edge_index"]
+        k = k_vecs[0, 0]
+        HK = np.zeros((n, n, nao, nao), complex)
+        SK = np.zeros((n, n, nao, nao), complex)
+        for i in range(n):
+            HK[i, i] += Hon[i]
+            SK[i, i] += Son[i]
+        for e in range(src.shape[0]):
+            ph = np.exp(2j * np.pi * np.dot(k, c1["nbr_shift"][e]))
+            HK[src[e], dst[e]] += ph * Hoff[e]
+            SK[src[e], dst[e]] += ph * Soff[e]
+        HKf = HK.transpose(0, 2, 1, 3).reshape(n * nao, n * nao)[valid][:, valid]
+        SKf = SK.transpose(0, 2, 1, 3).reshape(n * nao, n * nao)[valid][:, valid]
+        ev = scipy.linalg.eigh(HKf, SKf, eigvals_only=True)
+        np.testing.assert_allclose(b[0, 0], ev[:max_bands], atol=2e-3, rtol=1e-4)
+
+    def test_cli_band_control_kwargs(self):
+        from hamgnn_tpu.cli import _band_control_kwargs
+        import pytest as _pytest
+
+        class D(dict):
+            def get(self, k, d=None):
+                return dict.get(self, k, d)
+
+        assert _band_control_kwargs(D(band_num_control=6)) == {"band_num_control": 6}
+        kw = _band_control_kwargs(D(band_num_control={"6": 2, "14": 4}))
+        assert kw == {"band_num_control": 32,
+                      "band_species_counts": ((6, 2), (14, 4))}
+        with _pytest.raises(NotImplementedError):
+            _band_control_kwargs(D(band_num_control=0.5))
