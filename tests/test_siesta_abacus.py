@@ -35,15 +35,14 @@ def w_floats(f, vals):
     fwrite(f, struct.pack(f"<{len(vals)}f", *vals))
 
 
-def write_synthetic_hsx(path, rng):
+def write_synthetic_hsx(path, rng, nspin=1):
     """Two atoms, 2 orbitals each, 3x1x1 supercell images (no_s = 3*no_u)."""
     no_u, nsc = 4, 3
     no_s = no_u * nsc
-    nspin = 1
     cell = np.eye(3) * 6.0
     pos = np.array([[0.0, 0, 0], [2.5, 0, 0]])
     # dense supercell H: couple everything within the 3 images
-    dense_H = rng.normal(size=(no_u, no_s)).astype(np.float32)
+    dense_H = rng.normal(size=(nspin, no_u, no_s)).astype(np.float32)
     dense_S = rng.normal(size=(no_u, no_s)).astype(np.float32)
     # xij for orbital pair (io, jos): pos[ja] + R - pos[ia]
     shifts = [np.zeros(3), np.array([6.0, 0, 0]), np.array([-6.0, 0, 0])]
@@ -61,7 +60,7 @@ def write_synthetic_hsx(path, rng):
             w_ints(f, listh[io])
         for s in range(nspin):
             for io in range(no_u):
-                w_floats(f, dense_H[io])
+                w_floats(f, dense_H[s, io])
         for io in range(no_u):
             w_floats(f, dense_S[io])
         fwrite(f, struct.pack("<2d", 8.0, 300.0))  # qtot, temp
@@ -94,9 +93,9 @@ class TestSIESTA:
         fdf = FDFStructure(z=np.array([1, 1]), pos=pos, cell=cell)
         g = hsx_to_graph(hsx, fdf)
         # onsite blocks = image-0 diagonal atom blocks (Ry -> Ha scaled)
-        np.testing.assert_allclose(g["Hon"][0][0], dense_H[0:2, 0:2] * RY2HA,
+        np.testing.assert_allclose(g["Hon"][0][0], dense_H[0, 0:2, 0:2] * RY2HA,
                                    atol=1e-6)
-        np.testing.assert_allclose(g["Hon"][0][1], dense_H[2:4, 2:4] * RY2HA,
+        np.testing.assert_allclose(g["Hon"][0][1], dense_H[0, 2:4, 2:4] * RY2HA,
                                    atol=1e-6)
         # there are edges for every other (atom, image) pair block
         assert len(g["Hoff"][0]) == 2 * 2 * 3 - 2
@@ -104,8 +103,32 @@ class TestSIESTA:
         e = [i for i in range(len(g["edge_src"]))
              if g["edge_src"][i] == 0 and g["edge_dst"][i] == 1
              and not g["cell_shift"][i].any()][0]
-        np.testing.assert_allclose(g["Hoff"][0][e], dense_H[0:2, 2:4] * RY2HA,
+        np.testing.assert_allclose(g["Hoff"][0][e], dense_H[0, 0:2, 2:4] * RY2HA,
                                    atol=1e-6)
+
+    def test_nspin4_channels(self, tmp_path):
+        """SIESTA non-collinear/SOC HSX (nspin=4, read_siesta.py:237-246):
+        every spin channel keeps the shared sparsity pattern and its own
+        values; pack stacks channels along axis 1."""
+        rng = np.random.default_rng(7)
+        path = str(tmp_path / "t4.HSX")
+        dense_H, dense_S, cell, pos = write_synthetic_hsx(path, rng, nspin=4)
+        hsx = parse_hsx(path)
+        assert hsx.nspin == 4
+        fdf = FDFStructure(z=np.array([1, 1]), pos=pos, cell=cell)
+        g = hsx_to_graph(hsx, fdf)
+        assert len(g["Hon"]) == 4 and len(g["Hoff"]) == 4
+        for s in range(4):
+            np.testing.assert_allclose(
+                g["Hon"][s][0], dense_H[s, 0:2, 0:2] * RY2HA, atol=1e-6)
+            np.testing.assert_allclose(
+                g["Hon"][s][1], dense_H[s, 2:4, 2:4] * RY2HA, atol=1e-6)
+        e = [i for i in range(len(g["edge_src"]))
+             if g["edge_src"][i] == 0 and g["edge_dst"][i] == 1
+             and not g["cell_shift"][i].any()][0]
+        for s in range(4):
+            np.testing.assert_allclose(
+                g["Hoff"][s][e], dense_H[s, 0:2, 2:4] * RY2HA, atol=1e-6)
 
     def test_pack(self, tmp_path):
         rng = np.random.default_rng(1)
