@@ -65,6 +65,7 @@ def build_model(config) -> HamGNNModel:
         use_gradient_checkpointing=(
             pre.get("use_gradient_checkpointing", False)
             or config.setup.get("use_gradient_checkpointing", False)),
+        legacy_edge_update=pre.get("legacy_edge_update", False),
     )
 
     return _attach_head(config, rep)

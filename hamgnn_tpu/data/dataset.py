@@ -24,6 +24,7 @@ _FIELDS = (
     "z", "pos", "cell", "edge_index", "inv_edge_idx", "nbr_shift", "cell_shift",
     "Hon", "Hoff", "Hon0", "Hoff0", "iHon", "iHoff", "iHon0", "iHoff0",
     "Son", "Soff", "Lon", "Loff", "doping_charge",
+    "H0_u", "H0_d", "H_u", "H_d",
 )
 
 
@@ -45,7 +46,28 @@ def _crystal_dict(obj) -> Dict[str, np.ndarray]:
     for k, v in items:
         if k in _FIELDS:
             out[k] = _to_numpy(v)
-    return out
+    return _repack_legacy_collinear(out)
+
+
+def _repack_legacy_collinear(c: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Legacy collinear format (reference hamgnn_output.py:2962-2972): ``H0_u``
+    etc. hold onsite rows for the first ``len(z)`` entries and offsite rows for
+    the rest; repack into 2-spin-channel ``Hon0/Hoff0/Hon/Hoff`` stacks."""
+    if "H0_u" not in c:
+        return c
+    n = int(np.asarray(c["z"]).shape[0])
+
+    def flat(a):
+        a = np.asarray(a)
+        return a.reshape(a.shape[0], -1)
+
+    c["Hon0"] = np.stack([flat(c["H0_u"][:n]), flat(c["H0_d"][:n])], axis=1)
+    c["Hoff0"] = np.stack([flat(c["H0_u"][n:]), flat(c["H0_d"][n:])], axis=1)
+    c["Hon"] = np.stack([flat(c["H_u"][:n]), flat(c["H_d"][:n])], axis=1)
+    c["Hoff"] = np.stack([flat(c["H_u"][n:]), flat(c["H_d"][n:])], axis=1)
+    for k in ("H0_u", "H0_d", "H_u", "H_d"):
+        del c[k]
+    return c
 
 
 def load_graph_npz(path: str) -> List[Dict[str, np.ndarray]]:

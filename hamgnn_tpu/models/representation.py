@@ -82,6 +82,10 @@ class HamGNNConvE3(fnn.Module):
     apply_charge_doping: bool = False
     num_charge_attr_feas: int = 8
     use_gradient_checkpointing: bool = False
+    # old-checkpoint compat (reference hamgnn_conv.py:113-114, 228-230):
+    # layer 0's edge update gets no skip connection and leaves edge features
+    # untouched (interaction_blocks.py:156-158)
+    legacy_edge_update: bool = False
 
     @fnn.compact
     def __call__(self, graph: Graph):
@@ -158,9 +162,11 @@ class HamGNNConvE3(fnn.Module):
                 irreps_edge_attrs=irreps_sh,
                 num_edge_scalars=self.num_radial,
                 radial_mlp=tuple(self.radial_mlp),
-                use_skip_connections=True,
+                use_skip_connections=(
+                    (i > 0) if self.legacy_edge_update else True),
                 use_kan=self.use_kan,
                 lite_mode=self.lite_mode,
+                legacy_edge_update=self.legacy_edge_update,
                 name=f"pair_{i}",
             )
 

@@ -196,6 +196,10 @@ class PairInteractionBlock(fnn.Module):
     use_skip_connections: bool = True
     use_kan: bool = False
     lite_mode: bool = False
+    # reference interaction_blocks.py:156-158: old-checkpoint compat where
+    # (without skip connections) edge features are NOT updated by the conv-TP
+    # output.  The mix branch still runs so parameter shapes stay identical.
+    legacy_edge_update: bool = False
 
     @fnn.compact
     def __call__(self, node_feats, edge_feats, edge_sh, edge_scalars, edge_index):
@@ -220,6 +224,8 @@ class PairInteractionBlock(fnn.Module):
 
         if self.use_skip_connections:
             return mix + Linear(irreps_edge, irreps_edge, name="skip")(edge_feats)
+        if self.legacy_edge_update:
+            return edge_feats
         return mix
 
 

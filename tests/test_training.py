@@ -202,3 +202,65 @@ class TestOverlapFitting:
         l0 = trainer.train_epoch([g])
         l1 = trainer.train_epoch([g])
         assert np.isfinite(l0) and np.isfinite(l1)
+
+
+def test_legacy_collinear_repack():
+    """H0_u/H0_d/H_u/H_d legacy format -> 2-channel Hon/Hoff stacks
+    (reference hamgnn_output.py:2962-2972)."""
+    from hamgnn_tpu.data.dataset import _crystal_dict
+
+    rng = np.random.default_rng(0)
+    n, e, nao2 = 3, 4, 9
+    H0u = rng.normal(size=(n + e, 3, 3))
+    H0d = rng.normal(size=(n + e, 3, 3))
+    Hu = rng.normal(size=(n + e, nao2))
+    Hd = rng.normal(size=(n + e, nao2))
+    c = _crystal_dict({
+        "z": np.array([1, 1, 1]),
+        "H0_u": H0u, "H0_d": H0d, "H_u": Hu, "H_d": Hd,
+    })
+    assert "H0_u" not in c
+    assert c["Hon0"].shape == (n, 2, nao2)
+    assert c["Hoff0"].shape == (e, 2, nao2)
+    np.testing.assert_allclose(c["Hon0"][:, 0], H0u[:n].reshape(n, -1))
+    np.testing.assert_allclose(c["Hoff0"][:, 1], H0d[n:].reshape(e, -1))
+    np.testing.assert_allclose(c["Hon"][:, 0], Hu[:n])
+    np.testing.assert_allclose(c["Hoff"][:, 1], Hd[n:])
+
+
+def test_legacy_edge_update_flag():
+    """legacy_edge_update: layer-0 edge features pass through untouched
+    (reference hamgnn_conv.py:228-230, interaction_blocks.py:156-158)."""
+    import jax
+    from hamgnn_tpu.data.graph import pad_and_batch
+    from hamgnn_tpu.models.representation import HamGNNConvE3
+
+    rng = np.random.default_rng(1)
+    c = make_crystal(rng, n_atoms=4, species=(6, 14))
+    graph = pad_and_batch([c], bucket_multiple=8)
+    kw = dict(num_types=60, irreps_edge_sh="0e+1o+2e",
+              irreps_node_features="8x0e+4x1o+2x2e", num_layers=1,
+              num_radial=8, radial_mlp=(8,), cutoff=6.0)
+    rep_legacy = HamGNNConvE3(legacy_edge_update=True, **kw)
+    p = rep_legacy.init(jax.random.PRNGKey(0), graph)
+    out = rep_legacy.apply(p, graph)
+    assert np.isfinite(np.asarray(out["edge_attr"])).all()
+
+    # the block itself: legacy mode returns edge features untouched
+    from hamgnn_tpu.nn.blocks import PairInteractionBlock
+
+    irr = "8x0e+4x1o+2x2e"
+    sh = "0e+1o+2e"
+    n_feat = 8 * 1 + 4 * 3 + 2 * 5
+    nodes = np.asarray(out["node_attr"])[:, :n_feat].astype(np.float32)
+    edges = rng.normal(size=(graph.num_edges, n_feat)).astype(np.float32)
+    edge_sh = rng.normal(size=(graph.num_edges, 9)).astype(np.float32)
+    scal = rng.normal(size=(graph.num_edges, 8)).astype(np.float32)
+    blk = PairInteractionBlock(
+        irreps_node_feats=irr, irreps_edge_feats=irr, irreps_edge_attrs=sh,
+        num_edge_scalars=8, radial_mlp=(8,),
+        use_skip_connections=False, legacy_edge_update=True)
+    bp = blk.init(jax.random.PRNGKey(2), nodes, edges, edge_sh, scal,
+                  graph.edge_index)
+    got = blk.apply(bp, nodes, edges, edge_sh, scal, graph.edge_index)
+    np.testing.assert_array_equal(np.asarray(got), edges)
