@@ -73,7 +73,10 @@ def main():
     from hamgnn_tpu.train.trainer import init_params_on_cpu
     params = init_params_on_cpu(model, graph, 0)
     tx = optax.amsgrad(learning_rate=1.0)
-    opt_state = tx.init(params)
+    # device_put so every opt-state leaf is COMMITTED: eager init's fresh
+    # arrays are uncommitted and would trigger a full silent recompile on
+    # step 2 (the donated step returns committed arrays)
+    opt_state = jax.device_put(tx.init(params), jax.devices()[0])
     losses = [{"metric": "mae", "prediction": "hamiltonian",
                "target": "hamiltonian", "loss_weight": 27.211}]
 

@@ -45,7 +45,10 @@ class ParallelTrainer(Trainer):
     def init_params(self, example: Graph, seed: int = 666):
         params = super().init_params(example, seed)
         self.params = replicate_to_mesh(self.mesh, params)
-        self.opt_state = self.tx.init(self.params)
+        # replicate_to_mesh also commits every leaf (fresh eager optax arrays
+        # are uncommitted, which would flip the jit cache key after the first
+        # donated step — see Trainer.init_params)
+        self.opt_state = replicate_to_mesh(self.mesh, self.tx.init(self.params))
         return self.params
 
     # -- stacked-batch construction -------------------------------------

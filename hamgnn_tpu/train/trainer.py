@@ -144,7 +144,13 @@ class Trainer:
 
     def init_params(self, example: Graph, seed: int = 666):
         self.params = init_params_on_cpu(self.model, example, seed)
-        self.opt_state = self.tx.init(self.params)
+        # Explicitly COMMIT every opt-state leaf to the params' device.
+        # Eager (and even jitted-from-uncommitted) optax.init builds
+        # uncommitted arrays; a donated train step returns committed ones, and
+        # the committed-ness flip changes the jit cache key — silently
+        # recompiling the whole step on its second call (2x compile time).
+        device = jax.tree_util.tree_leaves(self.params)[0].devices().pop()
+        self.opt_state = jax.device_put(self.tx.init(self.params), device)
         return self.params
 
     # --- jitted steps (cached per bucket shape) ------------------------
@@ -166,7 +172,9 @@ class Trainer:
         key = self._shape_key(graph)
         if key not in self._train_step_cache:
 
-            @jax.jit
+            # donate params/opt_state: halves their HBM footprint; callers
+            # always rebind both from the step outputs
+            @functools.partial(jax.jit, donate_argnums=(0, 1))
             def step(params, opt_state, g: Graph, lr, **kw):
                 def loss_fn(p):
                     preds = self.model.apply(p, g, **kw)

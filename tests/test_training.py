@@ -264,3 +264,71 @@ def test_legacy_edge_update_flag():
                   graph.edge_index)
     got = blk.apply(bp, nodes, edges, edge_sh, scal, graph.edge_index)
     np.testing.assert_array_equal(np.asarray(got), edges)
+
+
+def test_no_silent_recompile_on_second_step():
+    """Donated train steps must hit the jit cache from step 1 on: eager
+    optax.init leaves are uncommitted while step outputs are committed, and
+    that metadata flip used to double every compile silently."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from flax import linen as fnn
+
+    from hamgnn_tpu.data.graph import pad_and_batch
+    from hamgnn_tpu.train.trainer import init_params_on_cpu
+
+    class M(fnn.Module):
+        @fnn.compact
+        def __call__(self, g):
+            w = self.param("w", fnn.initializers.normal(), (3, 4))
+            return jnp.sum((g.pos @ w) * g.node_mask[:, None])
+
+    rng = np.random.default_rng(0)
+    c = make_crystal(rng, n_atoms=4, species=(6, 14))
+    graph = pad_and_batch([c], bucket_multiple=8)
+    model = M()
+    params = init_params_on_cpu(model, graph, 0)
+    tx = optax.amsgrad(learning_rate=1.0)
+    device = jax.tree_util.tree_leaves(params)[0].devices().pop()
+    opt_state = jax.device_put(tx.init(params), device)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, g):
+        grads = jax.grad(lambda p: model.apply(p, g))(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state2
+
+    for _ in range(3):
+        params, opt_state = step(params, opt_state, graph)
+    jax.block_until_ready(params)
+    assert step._cache_size() == 1
+
+    # Trainer path: two steps through the same cached bucket entry
+    from hamgnn_tpu.train.config import load_config
+    from hamgnn_tpu.cli import build_model
+    from hamgnn_tpu.train.trainer import Trainer
+
+    cfg = load_config(None)
+    pre = cfg.representation_nets.HamGNN_pre
+    pre.irreps_node_features = "4x0e+2x1o+1x2e"
+    pre.irreps_edge_sh = "0e+1o+2e"
+    pre.num_layers = 1
+    pre.num_radial = 8
+    pre.radial_MLP = [8]
+    cfg.output_nets.HamGNN_out.nao_max = 14
+    hamgnn = build_model(cfg)
+    c2 = add_random_hamiltonian_targets(rng, make_crystal(rng, n_atoms=4,
+                                                          species=(6, 14)))
+    g2 = pad_and_batch([c2], bucket_multiple=8)
+    tr = Trainer(hamgnn,
+                 losses=[{"metric": "mae", "prediction": "hamiltonian",
+                          "target": "hamiltonian", "loss_weight": 1.0}],
+                 metrics=[])
+    tr.init_params(g2)
+    tr.train_epoch([g2])
+    tr.train_epoch([g2])
+    (fn,) = tr._train_step_cache.values()
+    assert fn._cache_size() == 1
