@@ -141,7 +141,9 @@ class MessagePackBlock(fnn.Module):
 class ConvBlockE3(fnn.Module):
     """Node update: skip + segment-sum of edge messages + residual.
 
-    Reference: convolution.py:23-160.
+    Reference: convolution.py:23-160.  ``gathered_call`` takes pre-gathered
+    src/dst features so the halo edge partition (parallel/halo.py) can reuse
+    the exact same parameters with a device-local node table.
     """
 
     irreps_in: Irreps
@@ -154,14 +156,13 @@ class ConvBlockE3(fnn.Module):
     lite_mode: bool = False
 
     @fnn.compact
-    def __call__(self, node_feats, edge_feats, edge_sh, edge_scalars, edge_index,
-                 edge_mask):
+    def gathered_call(self, node_feats_own, src_feats, dst_feats, edge_feats,
+                      edge_sh, edge_scalars, dst_idx, edge_mask):
         irreps_in = Irreps(self.irreps_in)
         irreps_out = Irreps(self.irreps_out)
-        num_nodes = node_feats.shape[0]
-        src, dst = edge_index[0], edge_index[1]
+        num_nodes = node_feats_own.shape[0]
 
-        skip = Linear(irreps_in, irreps_out, name="skip")(node_feats) \
+        skip = Linear(irreps_in, irreps_out, name="skip")(node_feats_own) \
             if self.use_skip_connections else None
 
         messages = MessagePackBlock(
@@ -174,19 +175,32 @@ class ConvBlockE3(fnn.Module):
             use_kan=self.use_kan,
             lite_mode=self.lite_mode,
             name="conv_tp",
-        )(node_feats[src], node_feats[dst], edge_feats, edge_sh, edge_scalars)
+        )(src_feats, dst_feats, edge_feats, edge_sh, edge_scalars)
         messages = messages * edge_mask[:, None].astype(messages.dtype)
 
-        agg = segment_sum(messages, dst, num_nodes)
+        agg = segment_sum(messages, dst_idx, num_nodes)
         out = ResidualBlock(irreps_in=irreps_out, irreps_hidden=irreps_out,
                             name="residual")(agg)
         if skip is not None:
             out = out + skip
         return out
 
+    def __call__(self, node_feats, edge_feats, edge_sh, edge_scalars, edge_index,
+                 edge_mask):
+        src, dst = edge_index[0], edge_index[1]
+        return self.gathered_call(node_feats, node_feats[src], node_feats[dst],
+                                  edge_feats, edge_sh, edge_scalars, dst,
+                                  edge_mask)
+
 
 class PairInteractionBlock(fnn.Module):
-    """Edge update from lifted node features (reference interaction_blocks.py:30-164)."""
+    """Edge update from lifted node features (reference interaction_blocks.py:30-164).
+
+    setup-style so the halo edge partition can call ``lift`` (per-node
+    linears, applied on owned rows before the halo exchange) and
+    ``gathered_call`` (per-edge mix on pre-gathered lifted features)
+    separately with the same parameter tree as ``__call__``.
+    """
 
     irreps_node_feats: Irreps
     irreps_edge_feats: Irreps
@@ -201,16 +215,12 @@ class PairInteractionBlock(fnn.Module):
     # output.  The mix branch still runs so parameter shapes stay identical.
     legacy_edge_update: bool = False
 
-    @fnn.compact
-    def __call__(self, node_feats, edge_feats, edge_sh, edge_scalars, edge_index):
+    def setup(self):
         irreps_node = Irreps(self.irreps_node_feats)
         irreps_edge = Irreps(self.irreps_edge_feats)
-        src, dst = edge_index[0], edge_index[1]
-
-        up_src = Linear(irreps_node, irreps_node, name="linear_up_src")(node_feats)
-        up_dst = Linear(irreps_node, irreps_node, name="linear_up_tar")(node_feats)
-
-        mix = MessagePackBlock(
+        self.linear_up_src = Linear(irreps_node, irreps_node)
+        self.linear_up_tar = Linear(irreps_node, irreps_node)
+        self.conv_tp = MessagePackBlock(
             irreps_node_feats=irreps_node,
             irreps_edge_feats=irreps_edge,
             irreps_local_env_edge=Irreps(self.irreps_edge_attrs),
@@ -219,14 +229,28 @@ class PairInteractionBlock(fnn.Module):
             radial_mlp=tuple(self.radial_mlp),
             use_kan=self.use_kan,
             lite_mode=self.lite_mode,
-            name="conv_tp",
-        )(up_src[src], up_dst[dst], edge_feats, edge_sh, edge_scalars)
-
+        )
         if self.use_skip_connections:
-            return mix + Linear(irreps_edge, irreps_edge, name="skip")(edge_feats)
+            self.skip = Linear(irreps_edge, irreps_edge)
+
+    def lift(self, node_feats):
+        return self.linear_up_src(node_feats), self.linear_up_tar(node_feats)
+
+    def gathered_call(self, src_lifted, dst_lifted, edge_feats, edge_sh,
+                      edge_scalars):
+        mix = self.conv_tp(src_lifted, dst_lifted, edge_feats, edge_sh,
+                           edge_scalars)
+        if self.use_skip_connections:
+            return mix + self.skip(edge_feats)
         if self.legacy_edge_update:
             return edge_feats
         return mix
+
+    def __call__(self, node_feats, edge_feats, edge_sh, edge_scalars, edge_index):
+        src, dst = edge_index[0], edge_index[1]
+        up_src, up_dst = self.lift(node_feats)
+        return self.gathered_call(up_src[src], up_dst[dst], edge_feats, edge_sh,
+                                  edge_scalars)
 
 
 class PairInteractionEmbeddingBlock(fnn.Module):

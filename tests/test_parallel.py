@@ -105,6 +105,143 @@ class TestSharding:
         np.testing.assert_allclose(float(total), np.mean(singles), atol=1e-5)
 
 
+class TestHaloPartition:
+    """Halo-exchange edge partition (parallel/halo.py): explicit shard_map
+    all-to-all of boundary node rows must reproduce the single-device layer."""
+
+    S = 4
+
+    @pytest.fixture(scope="class")
+    def case(self):
+        import jax.numpy as jnp
+
+        from hamgnn_tpu.nn.blocks import ConvBlockE3, PairInteractionBlock
+
+        rng = np.random.default_rng(7)
+        c = make_crystal(rng, n_atoms=24, species=(1, 6), cell_size=7.0,
+                         cutoff=3.5)
+        g = pad_and_batch([c], node_bucket=32, edge_bucket=320)
+        irreps = "8x0e+4x0o+4x1o+2x1e+2x2e"
+        sh = "0e + 1o + 2e"
+        n_rad = 8
+        N, E = g.num_nodes, g.num_edges
+        d_feat = 8 + 4 + 12 + 6 + 10
+        node_feats = jnp.asarray(rng.normal(size=(N, d_feat)), jnp.float32)
+        edge_feats = jnp.asarray(rng.normal(size=(E, d_feat)), jnp.float32)
+        edge_sh = jnp.asarray(rng.normal(size=(E, 9)), jnp.float32)
+        edge_scalars = jnp.asarray(rng.normal(size=(E, n_rad)), jnp.float32)
+
+        conv = ConvBlockE3(irreps_in=irreps, irreps_out=irreps,
+                           irreps_edge_attrs=sh, num_edge_scalars=n_rad,
+                           radial_mlp=(16, 16))
+        pair = PairInteractionBlock(
+            irreps_node_feats=irreps, irreps_edge_feats=irreps,
+            irreps_edge_attrs=sh, num_edge_scalars=n_rad, radial_mlp=(16, 16))
+        key = jax.random.PRNGKey(0)
+        cparams = conv.init(key, node_feats, edge_feats, edge_sh, edge_scalars,
+                            g.edge_index, g.edge_mask)
+        pparams = pair.init(key, node_feats, edge_feats, edge_sh, edge_scalars,
+                            g.edge_index)
+        return (g, conv, pair, cparams, pparams, node_feats, edge_feats,
+                edge_sh, edge_scalars)
+
+    def _halo_setup(self, g, mesh, node_feats, edge_feats, edge_sh,
+                    edge_scalars):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from hamgnn_tpu.parallel.halo import (
+            gather_edge_arrays, make_plan, shard_plan_arrays)
+
+        plan = make_plan(np.asarray(g.edge_index), np.asarray(g.edge_mask),
+                         g.num_nodes, self.S)
+        parr = shard_plan_arrays(mesh, plan)
+        ef, sh_a, sc = gather_edge_arrays(
+            plan, edge_feats, edge_sh, edge_scalars)
+        shard = NamedSharding(mesh, P("graph"))
+        put = lambda x: jax.device_put(np.asarray(x), shard)
+        return plan, parr, put(node_feats), put(ef), put(sh_a), put(sc)
+
+    def test_halo_conv_matches_single_device(self, case):
+        from jax.sharding import Mesh
+
+        from hamgnn_tpu.parallel.halo import make_halo_conv_forward
+
+        (g, conv, _pair, cparams, _pp, node_feats, edge_feats, edge_sh,
+         edge_scalars) = case
+        ref = jax.jit(conv.apply)(cparams, node_feats, edge_feats, edge_sh,
+                                  edge_scalars, g.edge_index, g.edge_mask)
+
+        mesh = Mesh(np.array(jax.devices()[: self.S]), ("graph",))
+        plan, parr, nf, ef, sh_a, sc = self._halo_setup(
+            g, mesh, node_feats, edge_feats, edge_sh, edge_scalars)
+        fwd = make_halo_conv_forward(conv, mesh)
+        out_nodes, _ = fwd(cparams, {}, nf, ef, sh_a, sc, parr["src_pos"],
+                           parr["dst_local"], parr["edge_mask"],
+                           parr["send_idx"])
+        np.testing.assert_allclose(np.asarray(out_nodes), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_halo_conv_pair_matches_single_device(self, case):
+        from jax.sharding import Mesh
+
+        from hamgnn_tpu.parallel.halo import (
+            make_halo_conv_forward, scatter_back_edges)
+
+        (g, conv, pair, cparams, pparams, node_feats, edge_feats, edge_sh,
+         edge_scalars) = case
+        nodes_ref = jax.jit(conv.apply)(cparams, node_feats, edge_feats,
+                                        edge_sh, edge_scalars, g.edge_index,
+                                        g.edge_mask)
+        edges_ref = jax.jit(pair.apply)(pparams, nodes_ref, edge_feats,
+                                        edge_sh, edge_scalars, g.edge_index)
+
+        mesh = Mesh(np.array(jax.devices()[: self.S]), ("graph",))
+        plan, parr, nf, ef, sh_a, sc = self._halo_setup(
+            g, mesh, node_feats, edge_feats, edge_sh, edge_scalars)
+        fwd = make_halo_conv_forward(conv, mesh, pair_module=pair)
+        out_nodes, out_edges = fwd(cparams, pparams, nf, ef, sh_a, sc,
+                                   parr["src_pos"], parr["dst_local"],
+                                   parr["edge_mask"], parr["send_idx"])
+        np.testing.assert_allclose(np.asarray(out_nodes),
+                                   np.asarray(nodes_ref), rtol=2e-5, atol=2e-5)
+        back = scatter_back_edges(plan, np.asarray(out_edges), g.num_edges)
+        mask = np.asarray(g.edge_mask)
+        np.testing.assert_allclose(np.asarray(back)[mask],
+                                   np.asarray(edges_ref)[mask],
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_halo_conv_gradients_match(self, case):
+        from jax.sharding import Mesh
+
+        from hamgnn_tpu.parallel.halo import make_halo_conv_forward
+
+        (g, conv, _pair, cparams, _pp, node_feats, edge_feats, edge_sh,
+         edge_scalars) = case
+
+        def loss_ref(p):
+            out = conv.apply(p, node_feats, edge_feats, edge_sh, edge_scalars,
+                             g.edge_index, g.edge_mask)
+            return (out ** 2).sum()
+
+        gref = jax.jit(jax.grad(loss_ref))(cparams)
+
+        mesh = Mesh(np.array(jax.devices()[: self.S]), ("graph",))
+        plan, parr, nf, ef, sh_a, sc = self._halo_setup(
+            g, mesh, node_feats, edge_feats, edge_sh, edge_scalars)
+        fwd = make_halo_conv_forward(conv, mesh)
+
+        def loss_halo(p):
+            out, _ = fwd(p, {}, nf, ef, sh_a, sc, parr["src_pos"],
+                         parr["dst_local"], parr["edge_mask"],
+                         parr["send_idx"])
+            return (out ** 2).sum()
+
+        ghalo = jax.jit(jax.grad(loss_halo))(cparams)
+        for a, b in zip(jax.tree.leaves(gref), jax.tree.leaves(ghalo)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=5e-4, atol=5e-4)
+
+
 class TestParallelTrainer:
     def test_training_reduces_loss(self):
         from hamgnn_tpu.parallel.trainer import ParallelTrainer
