@@ -70,13 +70,17 @@ def main():
     model = build_model(cfg)
     graph, n_edges = build_bench_case()
 
+    from jax.flatten_util import ravel_pytree
+
     from hamgnn_tpu.train.trainer import init_params_on_cpu
     params = init_params_on_cpu(model, graph, 0)
     tx = optax.amsgrad(learning_rate=1.0)
-    # device_put so every opt-state leaf is COMMITTED: eager init's fresh
-    # arrays are uncommitted and would trigger a full silent recompile on
-    # step 2 (the donated step returns committed arrays)
-    opt_state = jax.device_put(tx.init(params), jax.devices()[0])
+    # flat-vector optimizer state (see train/trainer.py); device_put so every
+    # opt-state leaf is COMMITTED: eager init's fresh arrays are uncommitted
+    # and would trigger a full silent recompile on step 2 (the donated step
+    # returns committed arrays)
+    flat0, _ = ravel_pytree(params)
+    opt_state = jax.device_put(tx.init(flat0), jax.devices()[0])
     losses = [{"metric": "mae", "prediction": "hamiltonian",
                "target": "hamiltonian", "loss_weight": 27.211}]
 
@@ -91,9 +95,10 @@ def main():
             return total
 
         total, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state2 = tx.update(grads, opt_state, params)
-        updates = jax.tree.map(lambda u: u * lr, updates)
-        return optax.apply_updates(params, updates), opt_state2, total
+        gflat, _ = ravel_pytree(grads)
+        pflat, unravel = ravel_pytree(params)
+        updates, opt_state2 = tx.update(gflat, opt_state, pflat)
+        return unravel(pflat + updates * lr), opt_state2, total
 
     lr = jnp.asarray(1e-3, jnp.float32)
     # warmup / compile + first-dispatch settling

@@ -173,10 +173,25 @@ def prepare_dataset(config):
     )
 
 
+def _dump_resolved_config(config) -> None:
+    """Record the fully-resolved config + version in train_dir (the
+    reference's TB-hparams equivalent, main.py:508-522 / utils/hparam.py)."""
+    import yaml
+
+    from .version import version_string
+
+    out_dir = config.profiler_params.train_dir
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "config_resolved.yaml"), "w") as f:
+        f.write(f"# {version_string()}\n")
+        yaml.safe_dump(config_to_dict(config), f, sort_keys=False)
+
+
 def train_and_evaluate(config) -> None:
     from .train.trainer import Trainer
 
     data = prepare_dataset(config)
+    _dump_resolved_config(config)
     model = build_model(config)
     trainer = Trainer(
         model,
@@ -241,6 +256,9 @@ def main(argv: Optional[list] = None) -> None:
     parser = argparse.ArgumentParser(description="HamGNN-TPU")
     parser.add_argument("--config", "-c", default="config_default.yaml")
     args, _ = parser.parse_known_args(argv)
+    from .version import print_banner
+
+    print_banner()
     config = load_config(args.config)
     np.random.seed(666)
     train_and_evaluate(config)

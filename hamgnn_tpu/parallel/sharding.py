@@ -26,6 +26,7 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.flatten_util import ravel_pytree
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..data.graph import Graph
@@ -125,12 +126,22 @@ def make_parallel_train_step(model, tx, losses: List[Dict[str, Any]], mesh: Mesh
     )
     def step(params, opt_state, gstack, lr):
         (total, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, gstack)
-        updates, opt_state2 = tx.update(grads, opt_state, params)
-        updates = jax.tree.map(lambda u: u * lr, updates)
-        params2 = optax.apply_updates(params, updates)
+        # flat-vector optimizer (see train/trainer.py): opt_state is over the
+        # raveled parameter vector, init with init_flat_opt_state
+        gflat, _ = ravel_pytree(grads)
+        pflat, unravel = ravel_pytree(params)
+        updates, opt_state2 = tx.update(gflat, opt_state, pflat)
+        params2 = unravel(pflat + updates * lr)
         return params2, opt_state2, total, logs
 
     return step
+
+
+def init_flat_opt_state(tx, params):
+    """Optimizer state over the raveled parameter vector (matches the flat
+    update inside make_parallel_train_step / Trainer)."""
+    flat0, _ = ravel_pytree(params)
+    return tx.init(flat0)
 
 
 def make_parallel_eval_step(model, losses: List[Dict[str, Any]], mesh: Mesh,

@@ -48,7 +48,10 @@ class ParallelTrainer(Trainer):
         # replicate_to_mesh also commits every leaf (fresh eager optax arrays
         # are uncommitted, which would flip the jit cache key after the first
         # donated step — see Trainer.init_params)
-        self.opt_state = replicate_to_mesh(self.mesh, self.tx.init(self.params))
+        from .sharding import init_flat_opt_state
+
+        self.opt_state = replicate_to_mesh(
+            self.mesh, init_flat_opt_state(self.tx, self.params))
         return self.params
 
     # -- stacked-batch construction -------------------------------------

@@ -76,9 +76,11 @@ class TestSharding:
         model, graphs, params = setup
         mesh = make_mesh(2, 4)
         stacked = shard_stacked_graph(mesh, stack_graphs(graphs))
+        from hamgnn_tpu.parallel.sharding import init_flat_opt_state
+
         tx = optax.amsgrad(learning_rate=1.0)
         params = replicate_to_mesh(mesh, params)
-        opt_state = tx.init(params)
+        opt_state = init_flat_opt_state(tx, params)
         step = make_parallel_train_step(model, tx, LOSSES, mesh, stacked)
         import jax.numpy as jnp
 

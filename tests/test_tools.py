@@ -144,3 +144,36 @@ class TestVisualization:
                            str(tmp_path / "s.png"))
         assert 0.005 < mae < 0.02
         assert (tmp_path / "s.png").exists()
+
+
+class TestTriplets:
+    """utils/triplets.py vs a brute-force O(E^2) reference enumeration."""
+
+    def test_matches_bruteforce(self):
+        import numpy as np
+
+        from hamgnn_tpu.utils.triplets import triplets
+
+        rng = np.random.default_rng(5)
+        from util_fixtures import make_crystal
+        c = make_crystal(rng, n_atoms=6, species=(1, 6), cell_size=5.0,
+                         cutoff=3.0)
+        ei = np.asarray(c["edge_index"])
+        cs = np.asarray(c["cell_shift"])
+        col_, row_, ti, tj, tk, tkj, tji = triplets(ei, 6, cs)
+
+        expect = set()
+        E = ei.shape[1]
+        for ji in range(E):
+            j, i = ei[0, ji], ei[1, ji]
+            for kj in range(E):
+                if ei[1, kj] != j:
+                    continue
+                k = ei[0, kj]
+                rel = cs[kj] + cs[ji]
+                if k == i and not rel.any():
+                    continue  # edge paired with its own inverse
+                expect.add((int(i), int(j), int(k), int(kj), int(ji)))
+        got = set(zip(ti.tolist(), tj.tolist(), tk.tolist(),
+                      tkj.tolist(), tji.tolist()))
+        assert got == expect and len(got) > 0
