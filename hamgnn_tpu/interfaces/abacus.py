@@ -151,6 +151,59 @@ def read_csr_file(path: str, soc: bool = False):
             yield shift, csr_matrix((val, col, row), shape=(no_u, no_u), dtype=dtype)
 
 
+def read_csr_native(path: str, soc: bool = False):
+    """Native-path counterpart of :func:`read_csr_file`.
+
+    Shells out to native/csr_reader.cpp (the TPU framework's replacement for
+    the reference's abacus_postprocess native layer) which parses the text
+    CSR file into a compact binary container, then yields the same
+    (shift, csr_matrix) stream.  Production HR files reach hundreds of MB;
+    the C++ scan is ~10x the pure-Python line parse.
+    """
+    import os
+    import subprocess
+    import tempfile
+
+    from scipy.sparse import csr_matrix
+
+    from .siesta import _native_tool
+
+    exe = _native_tool("csr_reader")
+    if exe is None:
+        raise FileNotFoundError("native csr_reader not built (see native/)")
+    with tempfile.NamedTemporaryFile(suffix=".bin", delete=False) as tmp:
+        out = tmp.name
+    try:
+        cmd = [exe, path, out] + (["--soc"] if soc else [])
+        subprocess.run(cmd, check=True, capture_output=True)
+        with open(out, "rb") as f:
+            buf = f.read()
+        assert buf[:6] == b"ABCSR1", "bad csr_reader container"
+        no_u, is_complex, n_blocks = np.frombuffer(buf, "<i8", 3, offset=8)
+        ofs = 8 + 3 * 8
+        for _ in range(n_blocks):
+            shift = np.frombuffer(buf, "<i8", 3, offset=ofs)
+            (nnz,) = np.frombuffer(buf, "<i8", 1, offset=ofs + 24)
+            ofs += 32
+            nv = int(nnz) * (2 if is_complex else 1)
+            raw = np.frombuffer(buf, "<f8", nv, offset=ofs)
+            ofs += nv * 8
+            col = np.frombuffer(buf, "<i8", int(nnz), offset=ofs)
+            ofs += int(nnz) * 8
+            row = np.frombuffer(buf, "<i8", int(no_u) + 1, offset=ofs)
+            ofs += (int(no_u) + 1) * 8
+            if is_complex:
+                val = raw[0::2] + 1j * raw[1::2]
+                dtype = np.complex128
+            else:
+                val = raw
+                dtype = np.float64
+            yield shift.astype(np.int64), csr_matrix(
+                (val, col, row), shape=(int(no_u), int(no_u)), dtype=dtype)
+    finally:
+        os.unlink(out)
+
+
 def build_graph_from_csr(stru: Stru, h_path: str, s_path: Optional[str] = None,
                          soc: bool = False) -> Dict:
     """Edges + per-edge dense blocks from ABACUS H(R)/S(R) sparse files."""

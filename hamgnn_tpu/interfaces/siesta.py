@@ -76,6 +76,44 @@ class HSXData:
     zval: np.ndarray
 
 
+def _native_tool(name: str) -> Optional[str]:
+    import os
+
+    exe = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "native", "build", name)
+    return exe if os.path.exists(exe) else None
+
+
+def parse_hsx_native(path: str) -> HSXData:
+    """Parse .HSX via the native C++ reader (native/hsx_reader.cpp).
+
+    Same HSXData contract as :func:`parse_hsx`; the native tool replaces the
+    reference's Fortran dumper layer (hsx_m.f90 + dump.f90).  Cross-checked
+    field-for-field against the numpy parser in tests.
+    """
+    import json
+    import subprocess
+
+    exe = _native_tool("hsx_reader")
+    if exe is None:
+        raise FileNotFoundError("native hsx_reader not built (see native/)")
+    d = json.loads(subprocess.run([exe, path], check=True,
+                                  capture_output=True).stdout)
+    return HSXData(
+        no_u=d["no_u"], no_s=d["no_s"], nspin=d["nspin"],
+        indxuo=np.asarray(d["indxuo"], np.int64),
+        numh=np.asarray(d["numh"], np.int64),
+        listh=np.asarray(d["listh"], np.int64),
+        hamilt=np.asarray(d["hamilt"], np.float64),
+        sover=np.asarray(d["sover"], np.float64),
+        xij=np.asarray(d["xij"], np.float64).reshape(-1, 3),
+        species_no=np.asarray(d["species_no"], np.int64),
+        isa=np.asarray(d["isa"], np.int64),
+        iaorb=np.asarray(d["iaorb"], np.int64),
+        zval=np.asarray(d["zval"], np.float64),
+    )
+
+
 def parse_hsx(path: str) -> HSXData:
     f = FortranFile(path)
     no_u, no_s, nspin, nh = f.ints()

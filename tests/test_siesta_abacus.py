@@ -269,3 +269,89 @@ class TestStruRoundtrip:
         fdf = parse_fdf(p)
         np.testing.assert_allclose(fdf.cell * 0.5291772490000065, cell, atol=1e-5)
         np.testing.assert_allclose(fdf.pos * 0.5291772490000065, pos, atol=1e-5)
+
+
+class TestNativeReaders:
+    """C++ parsers (native/hsx_reader.cpp, native/csr_reader.cpp) against
+    the pure-numpy ones, field for field on the same synthetic files."""
+
+    def _require(self, name):
+        from hamgnn_tpu.interfaces.siesta import _native_tool
+
+        if _native_tool(name) is None:
+            pytest.skip(f"{name} not built (run make -C native)")
+
+    @pytest.mark.parametrize("nspin", [1, 4])
+    def test_hsx_native_matches_python(self, tmp_path, nspin):
+        self._require("hsx_reader")
+        from hamgnn_tpu.interfaces.siesta import parse_hsx_native
+
+        rng = np.random.default_rng(3)
+        path = str(tmp_path / "t.HSX")
+        write_synthetic_hsx(path, rng, nspin=nspin)
+        py = parse_hsx(path)
+        nat = parse_hsx_native(path)
+        assert nat.no_u == py.no_u and nat.no_s == py.no_s
+        assert nat.nspin == py.nspin
+        for field in ("indxuo", "numh", "listh", "species_no", "isa", "iaorb"):
+            np.testing.assert_array_equal(getattr(nat, field),
+                                          getattr(py, field), err_msg=field)
+        for field in ("hamilt", "sover", "xij", "zval"):
+            np.testing.assert_array_equal(getattr(nat, field),
+                                          getattr(py, field), err_msg=field)
+
+    def test_csr_native_matches_python(self, tmp_path):
+        self._require("csr_reader")
+        from hamgnn_tpu.interfaces.abacus import read_csr_file, read_csr_native
+
+        rng = np.random.default_rng(4)
+        no_u = 8
+        path = str(tmp_path / "H.csr")
+        from scipy.sparse import csr_matrix
+
+        mats = [((0, 0, 0), rng.normal(size=(no_u, no_u))),
+                ((1, 0, 0), rng.normal(size=(no_u, no_u))),
+                ((0, -1, 0), np.zeros((no_u, no_u)))]
+        with open(path, "w") as f:
+            f.write("STEP: 0\n")
+            f.write(f"Matrix Dimension of H(R): {no_u}\n")
+            f.write(f"Matrix number of H(R): {len(mats)}\n")
+            for shift, m in mats:
+                sp = csr_matrix(m)
+                f.write(f"{shift[0]} {shift[1]} {shift[2]} {sp.nnz}\n")
+                if sp.nnz:
+                    f.write(" ".join(f"{v:.17e}" for v in sp.data) + "\n")
+                    f.write(" ".join(map(str, sp.indices)) + "\n")
+                    f.write(" ".join(map(str, sp.indptr)) + "\n")
+        py = list(read_csr_file(path))
+        nat = list(read_csr_native(path))
+        assert len(py) == len(nat) == 2  # zero block skipped by both
+        for (s1, m1), (s2, m2) in zip(py, nat):
+            np.testing.assert_array_equal(s1, s2)
+            np.testing.assert_allclose(m1.toarray(), m2.toarray(), rtol=1e-15)
+
+    def test_csr_native_soc_complex(self, tmp_path):
+        self._require("csr_reader")
+        from hamgnn_tpu.interfaces.abacus import read_csr_file, read_csr_native
+
+        rng = np.random.default_rng(5)
+        no_u = 4
+        path = str(tmp_path / "Hsoc.csr")
+        m = rng.normal(size=(no_u, no_u)) + 1j * rng.normal(size=(no_u, no_u))
+        from scipy.sparse import csr_matrix
+
+        sp = csr_matrix(m)
+        with open(path, "w") as f:
+            f.write(f"Matrix Dimension of H(R): {no_u}\n")
+            f.write("Matrix number of H(R): 1\n")
+            f.write(f"0 0 0 {sp.nnz}\n")
+            f.write(" ".join(f"({v.real:.17e},{v.imag:.17e})"
+                             for v in sp.data) + "\n")
+            f.write(" ".join(map(str, sp.indices)) + "\n")
+            f.write(" ".join(map(str, sp.indptr)) + "\n")
+        py = list(read_csr_file(path, soc=True))
+        nat = list(read_csr_native(path, soc=True))
+        assert len(py) == len(nat) == 1
+        np.testing.assert_allclose(py[0][1].toarray(), nat[0][1].toarray(),
+                                   rtol=1e-12)
+        np.testing.assert_allclose(nat[0][1].toarray(), m, rtol=1e-12)
