@@ -27,7 +27,11 @@ setup(
             "band_cal = hamgnn_tpu.tools.band_cal:main",
             "band_cal_parallel = hamgnn_tpu.tools.band_cal_parallel:main",
             "graph_data_gen = hamgnn_tpu.tools.graph_data_gen:main",
+            "graph_data_gen_siesta = hamgnn_tpu.tools.graph_data_gen_siesta:main",
+            "graph_data_gen_abacus = hamgnn_tpu.tools.graph_data_gen_abacus:main",
             "poscar2openmx = hamgnn_tpu.tools.poscar2openmx:main",
+            "poscar2abacus = hamgnn_tpu.tools.poscar2abacus:main",
+            "wfn_export = hamgnn_tpu.tools.wfn_export:main",
             "npz_to_lmdb = hamgnn_tpu.tools.npz_to_lmdb:main",
             "uni_hamgnn = hamgnn_tpu.tools.uni_hamgnn:main",
             "hamgnn-magnetism = hamgnn_tpu.tools.magnetism:main",
