@@ -8,6 +8,11 @@ PyTorch-GPU-class tensor-product pipeline; we peg that target at 50k full
 train-step edges/s for this production-representative config (3 layers,
 lmax-4 features, lmax-4 edge SH, radial-MLP-weighted CG tensor products,
 Hamiltonian output head, AdamW update) — i.e. vs_baseline = value / 50_000.
+
+Case: 512-atom production crystal, no gradient checkpointing — the streaming
+chunked tensor-product path (e3/fused_tp.py chunk_call + e3/linear.py
+call_chunks) keeps peak HBM under the 16G budget where the concatenated mid
+tensor formulation needed 22G.
 """
 
 import json
@@ -23,7 +28,7 @@ import numpy as np
 TARGET_EDGES_PER_S = 50_000.0
 
 
-def build_bench_case(n_atoms=256, cutoff=6.0):
+def build_bench_case(n_atoms=512, cutoff=6.0):
     from util_fixtures import add_random_hamiltonian_targets, make_crystal
 
     from hamgnn_tpu.data.graph import pad_and_batch

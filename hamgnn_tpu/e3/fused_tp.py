@@ -101,12 +101,25 @@ class SHTensorProductExpansion(fnn.Module):
                 out.append(MulIrrep(mul * n_cols, ir3))
         return Irreps(out)
 
-    @fnn.compact
     def __call__(self, x, sh):
+        outs = [
+            c.reshape(c.shape[:-2] + (mul * c.shape[-1],))
+            for mul, _, c in self.chunk_call(x, sh)
+        ]
+        return jnp.concatenate(outs, axis=-1)
+
+    def chunk_call(self, x, sh):
+        """Streaming variant: list of ``(mul * n_cols, ir3, chunk)`` with chunk
+        shape (..., mul * n_cols, ir3.dim) — no concatenated mid tensor.
+
+        Feed these into ``Linear.call_chunks`` / ``ElementwiseChannelScale
+        .call_chunks`` so the wide mid-irreps vector (O(10k) columns for
+        production feature sets) is never materialized in HBM.
+        """
         irreps_in = Irreps(self.irreps_in)
         sh_key = tuple((mi.ir.l, mi.ir.p) for mi in Irreps(self.irreps_sh))
         t_key = tuple((mi.ir.l, mi.ir.p) for mi in Irreps(self.target_irreps))
-        outs = []
+        chunks = []
         for sl, (mul, ir1) in zip(irreps_in.slices(), irreps_in):
             C, groups = _coupling_tensor(ir1.l, ir1.p, sh_key, t_key)
             if C.shape[-1] == 0:
@@ -115,9 +128,9 @@ class SHTensorProductExpansion(fnn.Module):
             Cj = jnp.asarray(C, x.dtype)
             W = jnp.einsum("...j,jik->...ik", sh, Cj)
             out = jnp.einsum("...ui,...ik->...uk", xc, W)
-            # split per output-irrep group: (.., mul, n_cols*d3) flattens to a
-            # (mul*n_cols) x ir3 chunk with (u, c)-major channel order
+            # split per output-irrep group: (.., mul, n_cols*d3) becomes a
+            # (mul*n_cols, ir3) chunk with (u, c)-major channel order
             for ir3, n_cols, k0, k1 in groups:
-                outs.append(out[..., k0:k1].reshape(
-                    x.shape[:-1] + (mul * n_cols * ir3.dim,)))
-        return jnp.concatenate(outs, axis=-1)
+                chunks.append((mul * n_cols, ir3, out[..., k0:k1].reshape(
+                    x.shape[:-1] + (mul * n_cols, ir3.dim))))
+        return chunks

@@ -72,6 +72,47 @@ class Linear(fnn.Module):
             out_chunks.append(y.reshape(y.shape[:-2] + (mio.dim,)))
         return jnp.concatenate(out_chunks, axis=-1)
 
+    def call_chunks(self, chunks):
+        """Streaming variant: consume a list of ``(mul, ir, x)`` chunks.
+
+        ``x`` has shape (..., mul, ir.dim).  The chunk sequence must carry the
+        same channels in the same order as ``irreps_in`` (it may be an
+        unsimplified refinement of it — channel order is what maps onto the
+        flat weight rows).  Avoids materializing the concatenated input: each
+        chunk is contracted with its weight-row slice and partial outputs are
+        summed.  For wide mid-irreps inputs (the fused-TP hot path) this cuts
+        peak HBM temp from O(batch x irreps_in.dim) to O(batch x max chunk).
+        """
+        chunks = [(int(mul), ir, x) for mul, ir, x in chunks]
+        in_dim = sum(mi.mul * mi.ir.dim for mi in self._in)
+        if sum(mul * ir.dim for mul, ir, _ in chunks) != in_dim:
+            raise ValueError("chunk sequence does not match irreps_in")
+        out_chunks = []
+        batch_shape = chunks[0][2].shape[:-2] if chunks else ()
+        for k, mio in enumerate(self._out):
+            sources, fan_in, ofs = self._plans[k]
+            if fan_in == 0:
+                out_chunks.append(
+                    jnp.zeros(batch_shape + (mio.dim,),
+                              dtype=chunks[0][2].dtype if chunks else jnp.float32))
+                continue
+            w = self._w[ofs : ofs + fan_in * mio.mul].reshape(fan_in, mio.mul)
+            scale = 1.0 / np.sqrt(fan_in)
+            acc = None
+            row = 0
+            for mul, ir, x in chunks:
+                if ir != mio.ir:
+                    continue
+                wi = (scale * w[row : row + mul]).astype(x.dtype)
+                y = jnp.einsum("...ui,uv->...vi", x, wi)
+                acc = y if acc is None else acc + y
+                row += mul
+            if row != fan_in:
+                raise ValueError(
+                    f"chunks provide {row} channels of {mio.ir}, expected {fan_in}")
+            out_chunks.append(acc.reshape(acc.shape[:-2] + (mio.dim,)))
+        return jnp.concatenate(out_chunks, axis=-1)
+
 
 class ElementwiseChannelScale(fnn.Module):
     """Scale each irrep channel (multiplicity index) by an external scalar.
@@ -107,3 +148,20 @@ class ElementwiseChannelScale(fnn.Module):
         idx = jnp.asarray(np.asarray(idx, np.int32))
         scaled = x * jnp.take(weight, idx, axis=-1)
         return self.linear_out(scaled)
+
+    def call_chunks(self, chunks, weight):
+        """Streaming variant over ``(mul, ir, x)`` chunks (x: (..., mul, dim)).
+
+        Channel k of ``weight`` scales the k-th multiplicity across the chunk
+        sequence (same order as ``__call__``'s expanded gather); the scaled
+        chunks stream straight into the chunked equivariant Linear without
+        concatenating the full mid-irreps vector.
+        """
+        ch = 0
+        scaled = []
+        for mul, ir, x in chunks:
+            scaled.append((mul, ir, x * weight[..., ch : ch + mul, None]))
+            ch += mul
+        if ch != self.weight_numel:
+            raise ValueError(f"chunks carry {ch} channels, expected {self.weight_numel}")
+        return self.linear_out.call_chunks(scaled)

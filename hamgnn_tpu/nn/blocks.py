@@ -105,15 +105,21 @@ class MessagePackBlock(fnn.Module):
         mid_node = SHTensorProductExpansion.mid_irreps(combined, irreps_sh, irreps_out)
         mid_edge = SHTensorProductExpansion.mid_irreps(irreps_edge, irreps_sh, irreps_out)
 
+        # streaming chunk path: the wide mid-irreps tensors (O(10k) columns)
+        # flow per-chunk through scale + linear, never concatenated in HBM
         node_inter = fuse_src_dst(irreps_node, node_feats_src, node_feats_dst)
         node_up = SHTensorProductExpansion(
-            combined, irreps_sh, irreps_out, name="node_tp")(node_inter, local_env_edge)
+            combined, irreps_sh, irreps_out, name="node_tp"
+        ).chunk_call(node_inter, local_env_edge)
         edge_up = SHTensorProductExpansion(
-            irreps_edge, irreps_sh, irreps_out, name="edge_tp")(edge_feats, local_env_edge)
+            irreps_edge, irreps_sh, irreps_out, name="edge_tp"
+        ).chunk_call(edge_feats, local_env_edge)
 
         if self.lite_mode:
-            node_dn = Linear(mid_node.simplify(), irreps_out, name="node_scaler")(node_up)
-            edge_dn = Linear(mid_edge.simplify(), irreps_out, name="edge_scaler")(edge_up)
+            node_dn = Linear(mid_node.simplify(), irreps_out,
+                             name="node_scaler").call_chunks(node_up)
+            edge_dn = Linear(mid_edge.simplify(), irreps_out,
+                             name="edge_scaler").call_chunks(edge_up)
             combine = ElementwiseChannelScale(
                 irreps_in=irreps_out.simplify(), irreps_out=irreps_out, name="combine")
             w = make_weight_generator(
@@ -131,8 +137,8 @@ class MessagePackBlock(fnn.Module):
         w_edge = make_weight_generator(
             self.num_edge_scalars, self.radial_mlp, edge_scaler.weight_numel,
             self.use_kan)(edge_scalars)
-        node_dn = node_scaler(node_up, w_node)
-        edge_dn = edge_scaler(edge_up, w_edge)
+        node_dn = node_scaler.call_chunks(node_up, w_node)
+        edge_dn = edge_scaler.call_chunks(edge_up, w_edge)
         out = (Linear(irreps_out, irreps_out, name="node_out")(node_dn)
                + Linear(irreps_out, irreps_out, name="edge_out")(edge_dn))
         return out
@@ -278,13 +284,13 @@ class PairInteractionEmbeddingBlock(fnn.Module):
 
         mid = SHTensorProductExpansion.mid_irreps(irreps_node, irreps_sh, irreps_out)
         up = SHTensorProductExpansion(
-            irreps_node, irreps_sh, irreps_out, name="tp")(x, edge_sh)
+            irreps_node, irreps_sh, irreps_out, name="tp").chunk_call(x, edge_sh)
         scaler = ElementwiseChannelScale(
             irreps_in=mid.simplify(), irreps_out=irreps_out, name="scaler")
         w = make_weight_generator(
             self.num_edge_scalars, self.radial_mlp, scaler.weight_numel,
             self.use_kan)(edge_scalars)
-        return scaler(up, w)
+        return scaler.call_chunks(up, w)
 
 
 class CorrProductBlock(fnn.Module):
@@ -355,13 +361,13 @@ class NodePairTensorProduct(fnn.Module):
 
         mid = SHTensorProductExpansion.mid_irreps(irreps, env_irreps, irreps_out)
         up = SHTensorProductExpansion(
-            irreps, env_irreps, irreps_out, name="tp")(feats_dst, env)
+            irreps, env_irreps, irreps_out, name="tp").chunk_call(feats_dst, env)
         scaler = ElementwiseChannelScale(
             irreps_in=mid.simplify(), irreps_out=irreps_out, name="scaler")
         w = make_weight_generator(
             self.num_edge_scalars, self.radial_mlp, scaler.weight_numel,
             self.use_kan)(edge_scalars)
-        out = scaler(up, w)
+        out = scaler.call_chunks(up, w)
         return Linear(irreps_out, irreps_out, name="out")(out)
 
 

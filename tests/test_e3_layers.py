@@ -147,3 +147,71 @@ class TestChannelScale:
         D = irreps_D(irr, R).astype(np.float32)
         y_rot = np.asarray(mod.apply(params, x @ D.T, w))
         np.testing.assert_allclose(y_rot, y @ D.T, atol=1e-5)
+
+
+class TestStreamingChunkPath:
+    """The streaming (chunk_call / call_chunks) hot path must match the
+    concatenated formulation bit-for-bit in parameters and numerically in
+    outputs — it is what keeps peak HBM at O(E x out) instead of
+    O(E x mid_irreps.dim) (~1 GB/layer at 512 atoms)."""
+
+    def test_matches_concatenated(self):
+        from flax import linen as fnn
+
+        from hamgnn_tpu.e3.fused_tp import SHTensorProductExpansion
+
+        irreps_in = Irreps("8x0e+4x1o+4x2e+2x3o")
+        irreps_sh = Irreps("0e+1o+2e+3o")
+        target = Irreps("8x0e+4x0o+4x1o+2x1e+2x2e+1x2o+1x3o")
+        mid = SHTensorProductExpansion.mid_irreps(irreps_in, irreps_sh, target)
+
+        class Old(fnn.Module):
+            @fnn.compact
+            def __call__(self, x, sh, w):
+                up = SHTensorProductExpansion(
+                    irreps_in, irreps_sh, target, name="tp")(x, sh)
+                return ElementwiseChannelScale(
+                    irreps_in=mid.simplify(), irreps_out=target, name="sc")(up, w)
+
+        class New(fnn.Module):
+            @fnn.compact
+            def __call__(self, x, sh, w):
+                up = SHTensorProductExpansion(
+                    irreps_in, irreps_sh, target, name="tp").chunk_call(x, sh)
+                return ElementwiseChannelScale(
+                    irreps_in=mid.simplify(), irreps_out=target,
+                    name="sc").call_chunks(up, w)
+
+        rng = np.random.default_rng(7)
+        x = rng.normal(size=(7, irreps_in.dim)).astype(np.float32)
+        sh = rng.normal(size=(7, irreps_sh.dim)).astype(np.float32)
+        w = rng.normal(size=(7, mid.simplify().num_irreps)).astype(np.float32)
+        p_old = Old().init(jax.random.PRNGKey(0), x, sh, w)
+        p_new = New().init(jax.random.PRNGKey(0), x, sh, w)
+        assert jax.tree_util.tree_structure(p_old) == \
+            jax.tree_util.tree_structure(p_new)
+        y_old = np.asarray(Old().apply(p_old, x, sh, w))
+        y_new = np.asarray(New().apply(p_old, x, sh, w))
+        np.testing.assert_allclose(y_new, y_old, atol=1e-5)
+
+    def test_linear_call_chunks_unsimplified_refinement(self):
+        # call_chunks must accept an unsimplified chunk sequence whose
+        # channel order matches the simplified constructor irreps
+        rng = np.random.default_rng(8)
+        irr_chunks = [(2, "1o"), (3, "1o"), (4, "0e")]
+        irr = Irreps(irr_chunks).simplify()
+        lin = Linear(irr, Irreps("3x1o+2x0e"))
+        x = rng.normal(size=(5, irr.dim)).astype(np.float32)
+        params = lin.init(jax.random.PRNGKey(1), x)
+        y_ref = np.asarray(lin.apply(params, x))
+
+        from hamgnn_tpu.e3.irreps import Irrep
+        chunks = []
+        ofs = 0
+        for mul, ir_s in irr_chunks:
+            ir = Irrep.parse(ir_s)
+            c = x[:, ofs:ofs + mul * ir.dim].reshape(5, mul, ir.dim)
+            chunks.append((mul, ir, c))
+            ofs += mul * ir.dim
+        y = np.asarray(lin.apply(params, chunks, method=lambda m, c: m.call_chunks(c)))
+        np.testing.assert_allclose(y, y_ref, atol=1e-6)
