@@ -1,0 +1,95 @@
+"""Capture an xprof trace of the bench train step and print device op stats.
+
+Wall-clock through the axon tunnel is unreliable (dedup/caching makes a
+chained 8k matmul appear to run at 36 PF/s); the xplane trace carries real
+device timings per HLO op.
+"""
+
+import glob
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+
+import jax
+
+cache_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+import functools
+
+import jax.numpy as jnp
+import optax
+from jax.flatten_util import ravel_pytree
+
+from bench import build_bench_case
+from hamgnn_tpu.cli import build_model
+from hamgnn_tpu.models.model import compute_losses
+from hamgnn_tpu.train.config import load_config
+from hamgnn_tpu.train.trainer import init_params_on_cpu
+
+
+def main():
+    cfg = load_config(None, overrides={
+        "representation_nets": {"HamGNN_pre": {
+            "irreps_node_features": "64x0e+32x0o+24x1o+12x1e+12x2e+6x2o+4x3o+4x3e+2x4e",
+            "irreps_edge_sh": "0e + 1o + 2e + 3o + 4e",
+            "num_layers": 3, "num_radial": 64, "cutoff": 7.0,
+            "radial_MLP": [64, 64], "num_types": 96,
+        }},
+        "output_nets": {"HamGNN_out": {"nao_max": 19, "zero_point_shift": False}},
+    })
+    model = build_model(cfg)
+    graph, n_edges = build_bench_case()
+    params = init_params_on_cpu(model, graph, 0)
+    tx = optax.amsgrad(learning_rate=1.0)
+    flat0, _ = ravel_pytree(params)
+    opt_state = jax.device_put(tx.init(flat0), jax.devices()[0])
+    losses = [{"metric": "mae", "prediction": "hamiltonian",
+               "target": "hamiltonian", "loss_weight": 27.211}]
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, g, lr):
+        def loss_fn(p):
+            preds = model.apply(p, g)
+            total, _ = compute_losses(preds, g, losses)
+            return total
+        total, grads = jax.value_and_grad(loss_fn)(params)
+        gflat, _ = ravel_pytree(grads)
+        pflat, unravel = ravel_pytree(params)
+        updates, opt_state2 = tx.update(gflat, opt_state, pflat)
+        return unravel(pflat + updates * lr), opt_state2, total
+
+    lr = jnp.asarray(1e-3, jnp.float32)
+    for _ in range(3):
+        params, opt_state, total = step(params, opt_state, graph, lr)
+    jax.block_until_ready(total)
+
+    logdir = "/tmp/xprof_trace"
+    os.system(f"rm -rf {logdir}")
+    with jax.profiler.trace(logdir):
+        for _ in range(10):
+            params, opt_state, total = step(params, opt_state, graph, lr)
+        jax.block_until_ready(total)
+
+    paths = glob.glob(f"{logdir}/**/*.xplane.pb", recursive=True)
+    print("xplane files:", paths)
+    if not paths:
+        return
+    from tensorboard_plugin_profile.convert import raw_to_tool_data
+
+    for tool in ("framework_op_stats", "hlo_op_stats", "op_profile"):
+        try:
+            data, _ = raw_to_tool_data.xspace_to_tool_data(paths, tool + "^", {})
+            out = f"/tmp/xprof_{tool}.out"
+            with open(out, "wb") as f:
+                f.write(data if isinstance(data, bytes) else str(data).encode())
+            print(f"{tool}: wrote {out} ({os.path.getsize(out)} bytes)")
+        except Exception as e:  # noqa: BLE001
+            print(f"{tool}: FAILED {type(e).__name__}: {e}")
+
+
+if __name__ == "__main__":
+    main()
