@@ -18,7 +18,7 @@ tensor formulation needed 22G.
 import json
 import os
 import sys
-import time
+
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
@@ -106,22 +106,19 @@ def main():
         return unravel(pflat + updates * lr), opt_state2, total
 
     lr = jnp.asarray(1e-3, jnp.float32)
-    # warmup / compile + first-dispatch settling
-    for _ in range(3):
+
+    # trace-derived device time: wall-clock over the remote transport dedupes
+    # repeated identical executions and wildly over-reports throughput; the
+    # xplane trace records true per-execution device durations.
+    from hamgnn_tpu.utils.profiling import device_time_ms
+
+    def run_step():
+        nonlocal params, opt_state
         params, opt_state, total = step(params, opt_state, graph, lr)
-        jax.block_until_ready(total)
+        return total
 
-    n_iter = 20
-    best_dt = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(n_iter):
-            params, opt_state, total = step(params, opt_state, graph, lr)
-        jax.block_until_ready(total)
-        best_dt = min(best_dt, time.perf_counter() - t0)
-    dt = best_dt
-
-    edges_per_s = n_edges * n_iter / dt
+    step_ms = device_time_ms(run_step, n=8, warmup=3)
+    edges_per_s = n_edges / (step_ms * 1e-3)
     print(json.dumps({
         "metric": "train_step_edges_per_s",
         "value": round(edges_per_s, 1),

@@ -113,6 +113,21 @@ class Linear(fnn.Module):
             out_chunks.append(acc.reshape(acc.shape[:-2] + (mio.dim,)))
         return jnp.concatenate(out_chunks, axis=-1)
 
+    def packed_tp_call(self, tp_irreps_in, tp_irreps_sh, x, sh, weight=None):
+        """Fused TP -> (optional per-channel scale) -> this Linear, executed in
+        the packed lane-dense layout (see e3/packed_tp.py).  Equivalent to
+        ``self.call_chunks(SHTensorProductExpansion(tp_irreps_in, tp_irreps_sh,
+        target).chunk_call(x, sh))`` with target == this layer's semantics.
+        """
+        from .packed_tp import get_plan
+
+        out = Irreps(self._out)
+        plan = get_plan(repr(Irreps(tp_irreps_in)), repr(Irreps(tp_irreps_sh)),
+                        repr(out), repr(out))
+        if plan.linear_numel != (0 if self._w is None else self._w.size):
+            raise ValueError("packed plan does not match this Linear's weights")
+        return plan(x, sh, weight, self._w)
+
 
 class ElementwiseChannelScale(fnn.Module):
     """Scale each irrep channel (multiplicity index) by an external scalar.
@@ -165,3 +180,30 @@ class ElementwiseChannelScale(fnn.Module):
         if ch != self.weight_numel:
             raise ValueError(f"chunks carry {ch} channels, expected {self.weight_numel}")
         return self.linear_out.call_chunks(scaled)
+
+    def packed_tp_call(self, tp_irreps_in, tp_irreps_sh, x, sh, weight,
+                       target_irreps=None, weight_packed=False):
+        """Fused TP -> per-channel radial scale -> linear_out in the packed
+        lane-dense layout (e3/packed_tp.py): same parameters and math as
+        ``self.call_chunks(SHTensorProductExpansion(...).chunk_call(x, sh),
+        weight)`` but ~10x fewer, lane-aligned XLA ops.  Pass
+        ``weight_packed=True`` when the radial generator already emits packed
+        channel order (``make_weight_generator(..., out_perm=...)``)."""
+        plan = self.packed_plan(tp_irreps_in, tp_irreps_sh, target_irreps)
+        lw = self.linear_out._w
+        if plan.linear_numel != (0 if lw is None else lw.size):
+            raise ValueError("packed plan does not match linear_out weights")
+        return plan(x, sh, weight, lw, weight_packed=weight_packed)
+
+    def packed_plan(self, tp_irreps_in, tp_irreps_sh, target_irreps=None):
+        from .packed_tp import get_plan
+
+        target = Irreps(target_irreps if target_irreps is not None
+                        else self.irreps_out)
+        plan = get_plan(repr(Irreps(tp_irreps_in)), repr(Irreps(tp_irreps_sh)),
+                        repr(target), repr(Irreps(self.irreps_out)))
+        if plan.weight_numel != self.weight_numel:
+            raise ValueError(
+                f"packed plan has {plan.weight_numel} scale channels, "
+                f"scaler expects {self.weight_numel}")
+        return plan

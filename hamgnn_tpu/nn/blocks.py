@@ -105,21 +105,18 @@ class MessagePackBlock(fnn.Module):
         mid_node = SHTensorProductExpansion.mid_irreps(combined, irreps_sh, irreps_out)
         mid_edge = SHTensorProductExpansion.mid_irreps(irreps_edge, irreps_sh, irreps_out)
 
-        # streaming chunk path: the wide mid-irreps tensors (O(10k) columns)
-        # flow per-chunk through scale + linear, never concatenated in HBM
+        # packed lane-dense TP -> radial scale -> linear (e3/packed_tp.py):
+        # the wide mid-irreps tensors stay (k,u)-flattened on full 128-lane
+        # tiles; same parameters as the chunked path, ~10x fewer XLA ops
         node_inter = fuse_src_dst(irreps_node, node_feats_src, node_feats_dst)
-        node_up = SHTensorProductExpansion(
-            combined, irreps_sh, irreps_out, name="node_tp"
-        ).chunk_call(node_inter, local_env_edge)
-        edge_up = SHTensorProductExpansion(
-            irreps_edge, irreps_sh, irreps_out, name="edge_tp"
-        ).chunk_call(edge_feats, local_env_edge)
 
         if self.lite_mode:
             node_dn = Linear(mid_node.simplify(), irreps_out,
-                             name="node_scaler").call_chunks(node_up)
+                             name="node_scaler").packed_tp_call(
+                combined, irreps_sh, node_inter, local_env_edge)
             edge_dn = Linear(mid_edge.simplify(), irreps_out,
-                             name="edge_scaler").call_chunks(edge_up)
+                             name="edge_scaler").packed_tp_call(
+                irreps_edge, irreps_sh, edge_feats, local_env_edge)
             combine = ElementwiseChannelScale(
                 irreps_in=irreps_out.simplify(), irreps_out=irreps_out, name="combine")
             w = make_weight_generator(
@@ -131,14 +128,23 @@ class MessagePackBlock(fnn.Module):
             irreps_in=mid_node.simplify(), irreps_out=irreps_out, name="node_scaler")
         edge_scaler = ElementwiseChannelScale(
             irreps_in=mid_edge.simplify(), irreps_out=irreps_out, name="edge_scaler")
+        node_plan = node_scaler.packed_plan(combined, irreps_sh)
+        edge_plan = edge_scaler.packed_plan(irreps_edge, irreps_sh)
+        # radial generators emit packed channel order directly (static column
+        # permutation of their last-layer weight view): the per-group scale is
+        # then one contiguous broadcast multiply
         w_node = make_weight_generator(
             self.num_edge_scalars, self.radial_mlp, node_scaler.weight_numel,
-            self.use_kan, )(edge_scalars)
+            self.use_kan, out_perm=node_plan.scale_perm)(edge_scalars)
         w_edge = make_weight_generator(
             self.num_edge_scalars, self.radial_mlp, edge_scaler.weight_numel,
-            self.use_kan)(edge_scalars)
-        node_dn = node_scaler.call_chunks(node_up, w_node)
-        edge_dn = edge_scaler.call_chunks(edge_up, w_edge)
+            self.use_kan, out_perm=edge_plan.scale_perm)(edge_scalars)
+        node_dn = node_scaler.packed_tp_call(
+            combined, irreps_sh, node_inter, local_env_edge, w_node,
+            weight_packed=True)
+        edge_dn = edge_scaler.packed_tp_call(
+            irreps_edge, irreps_sh, edge_feats, local_env_edge, w_edge,
+            weight_packed=True)
         out = (Linear(irreps_out, irreps_out, name="node_out")(node_dn)
                + Linear(irreps_out, irreps_out, name="edge_out")(edge_dn))
         return out
@@ -283,14 +289,14 @@ class PairInteractionEmbeddingBlock(fnn.Module):
         x = up_src[src] + up_dst[dst]
 
         mid = SHTensorProductExpansion.mid_irreps(irreps_node, irreps_sh, irreps_out)
-        up = SHTensorProductExpansion(
-            irreps_node, irreps_sh, irreps_out, name="tp").chunk_call(x, edge_sh)
         scaler = ElementwiseChannelScale(
             irreps_in=mid.simplify(), irreps_out=irreps_out, name="scaler")
+        plan = scaler.packed_plan(irreps_node, irreps_sh)
         w = make_weight_generator(
             self.num_edge_scalars, self.radial_mlp, scaler.weight_numel,
-            self.use_kan)(edge_scalars)
-        return scaler.call_chunks(up, w)
+            self.use_kan, out_perm=plan.scale_perm)(edge_scalars)
+        return scaler.packed_tp_call(irreps_node, irreps_sh, x, edge_sh, w,
+                                     weight_packed=True)
 
 
 class CorrProductBlock(fnn.Module):
@@ -360,14 +366,14 @@ class NodePairTensorProduct(fnn.Module):
         env_irreps = Irreps([(1, ir) for _, ir in irreps])
 
         mid = SHTensorProductExpansion.mid_irreps(irreps, env_irreps, irreps_out)
-        up = SHTensorProductExpansion(
-            irreps, env_irreps, irreps_out, name="tp").chunk_call(feats_dst, env)
         scaler = ElementwiseChannelScale(
             irreps_in=mid.simplify(), irreps_out=irreps_out, name="scaler")
+        plan = scaler.packed_plan(irreps, env_irreps)
         w = make_weight_generator(
             self.num_edge_scalars, self.radial_mlp, scaler.weight_numel,
-            self.use_kan)(edge_scalars)
-        out = scaler.call_chunks(up, w)
+            self.use_kan, out_perm=plan.scale_perm)(edge_scalars)
+        out = scaler.packed_tp_call(irreps, env_irreps, feats_dst, env, w,
+                                    weight_packed=True)
         return Linear(irreps_out, irreps_out, name="out")(out)
 
 

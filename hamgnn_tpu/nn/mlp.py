@@ -13,7 +13,7 @@ basis-expansion matmul, which is the MXU-friendly formulation.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 import jax.numpy as jnp
 import numpy as np
@@ -25,6 +25,12 @@ from ..e3.gate import act
 class FullyConnectedNet(fnn.Module):
     hs: Sequence[int]          # layer widths, e.g. [in, 64, 64, out]
     act_name: str = "silu"
+    # static permutation applied as a *view* of the last layer's weight
+    # columns: output channel k reads param column out_perm[k].  Used by the
+    # packed TP pipeline (e3/packed_tp.py scale_perm) so per-edge radial
+    # weights are emitted directly in packed channel order while the stored
+    # parameter keeps the reference (chunked) channel order.
+    out_perm: Optional[tuple] = None
 
     @fnn.compact
     def __call__(self, x):
@@ -33,6 +39,8 @@ class FullyConnectedNet(fnn.Module):
         for i in range(n):
             d_in, d_out = self.hs[i], self.hs[i + 1]
             w = self.param(f"w{i}", fnn.initializers.normal(stddev=1.0), (d_in, d_out))
+            if i == n - 1 and self.out_perm is not None:
+                w = w[:, np.asarray(self.out_perm)]
             x = x @ (w / np.sqrt(d_in)).astype(x.dtype)
             if i < n - 1:
                 x = f(x)
@@ -53,6 +61,7 @@ class KANLinear(fnn.Module):
     grid_range: tuple = (-1.0, 1.0)
     scale_base: float = 1.0
     scale_spline: float = 1.0
+    out_perm: Optional[tuple] = None   # static column-permutation view
 
     def _grid(self):
         g0, g1 = self.grid_range
@@ -85,6 +94,10 @@ class KANLinear(fnn.Module):
             fnn.initializers.variance_scaling(self.scale_spline**2 * 1.0 / 3, "fan_in", "uniform"),
             (self.in_features * n_b, self.out_features),
         )
+        if self.out_perm is not None:
+            perm = np.asarray(self.out_perm)
+            base_w = base_w[:, perm]
+            spline_w = spline_w[:, perm]
         silu = lambda v: v * jnp.reciprocal(1.0 + jnp.exp(-v))
         base = silu(x) @ base_w
         b = self.b_splines(x).reshape(*x.shape[:-1], self.in_features * n_b)
@@ -95,23 +108,28 @@ class KAN(fnn.Module):
     hs: Sequence[int]
     grid_size: int = 3
     grid_range: tuple = (-1.0, 1.0)
+    out_perm: Optional[tuple] = None
 
     @fnn.compact
     def __call__(self, x):
-        for i in range(len(self.hs) - 1):
+        n = len(self.hs) - 1
+        for i in range(n):
             x = KANLinear(
                 in_features=self.hs[i],
                 out_features=self.hs[i + 1],
                 grid_size=self.grid_size,
                 grid_range=self.grid_range,
+                out_perm=self.out_perm if i == n - 1 else None,
             )(x)
         return x
 
 
 def make_weight_generator(input_dim: int, hidden: Sequence[int], output_dim: int,
                           use_kan: bool = False, grid_size: int = 3,
-                          grid_range: tuple = (-1.0, 1.0)):
+                          grid_range: tuple = (-1.0, 1.0), out_perm=None):
     hs = [input_dim, *hidden, output_dim]
+    out_perm = tuple(int(i) for i in out_perm) if out_perm is not None else None
     if use_kan:
-        return KAN(hs=tuple(hs), grid_size=grid_size, grid_range=grid_range)
-    return FullyConnectedNet(hs=tuple(hs), act_name="silu")
+        return KAN(hs=tuple(hs), grid_size=grid_size, grid_range=grid_range,
+                   out_perm=out_perm)
+    return FullyConnectedNet(hs=tuple(hs), act_name="silu", out_perm=out_perm)
