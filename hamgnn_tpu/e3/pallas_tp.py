@@ -1,0 +1,542 @@
+"""Pallas TPU kernels for the packed TP -> radial-scale -> Linear pipeline.
+
+Device traces of the packed XLA path (e3/packed_tp.py) show the train step is
+HBM/op-bound: the wide mid-irreps tensors (O(10k) lanes x O(10k) edges, ~0.5 GB
+each at production sizes) are materialized in HBM several times per pipeline
+(construction FMAs, radial scale, matmul read, AD remat), spreading the step
+over ~1.5k ops of ~0.1-0.3 ms each while the MXU idles.
+
+These kernels compute the SAME function with the SAME parameters (matching
+``PackedTPPlan._apply`` up to float reassociation) but keep every mid tensor
+in VMEM: one grid step processes a tile of TILE_E edges end-to-end, and HBM
+traffic per tile is just the operands (x, sh, w) and the output.
+
+Mosaic (TPU Pallas) restricts vector ops to 2D-friendly forms — no 3D lane
+merges/splits, no element-repeat along lanes, no lane-axis reductions (probed
+on v5e; see tools_dev/mosaic_probe*.py) — so the kernel is formulated entirely
+in flat 2D lane layouts:
+
+  per input chunk g (mul copies of irrep l1, d1 = 2*l1+1):
+    W_rep = sh_tile @ Crep_g          one MXU dot; Crep_g is the chunk's
+                                      coupling matrix with every column
+                                      pre-duplicated mul times on the host, so
+                                      the "element-repeat" the VPU cannot do
+                                      comes straight out of the matmul
+    mid   = sum_i W_rep[:, i-block] * tile(x[:, (g,i)-block], K)
+                                      (pltpu.repeat = whole-vector tile)
+    lanes of mid are k*mul + u with k m3-major inside each ir3 group
+  per (out chunk, source group):
+    blk   = mid[:, group lanes] * tile(w[:, cb:cb+ncm], d3)   (radial scale)
+    per m3: acc[out][:, m3*V:+V] += blk[:, m3-slice] @ Wcat[r0:r0+ncm, :V]
+
+The backward pass is a second kernel with the same structure (recomputes mids
+in VMEM — nothing wide is ever an AD residual): dWcat/dw/dsh come from
+transposed dots, and dx contracts the k-blocks with a 0/1 block-sum matrix
+(again: MXU does what the VPU cannot).  dWcat accumulates across grid steps
+into a revisited output block.
+
+Layout contract (precomputed in ``PallasSpec``, applied with static gathers
+outside the kernels where XLA autodiff handles them):
+  * x enters m-major per chunk: lane ofs_g + i*mul + u  (i = m1 index)
+  * out leaves the kernel m3-major per output chunk (lane b + m3*V + v) and is
+    de-interleaved to the standard u-major irreps layout by one static gather
+  * the equivariant Linear's flat weight enters as ``Wcat``: every (out chunk,
+    source group) block's (ncm, V) matrix stacked on rows in packed lane order
+    with 1/sqrt(fan_in) folded in; built from flat_w by one static gather so
+    XLA autodiff routes dWcat back to the flat parameter
+
+Reference semantics: e3nn TensorProduct + per-path radial weights + o3.Linear
+as composed in /root/reference/hamgnn/nn/tensor_products.py:51-189 and
+message_passing.py:80-107.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_E = 128
+
+
+def use_pallas() -> bool:
+    eng = os.environ.get("HAMGNN_TP_ENGINE", "auto")
+    if eng == "pallas":
+        return True
+    if eng == "xla":
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def _tile_lanes(a, n, interpret):
+    """Whole-vector tile along the lane axis: (E, L) -> (E, n*L)."""
+    if n == 1:
+        return a
+    if interpret:
+        return jnp.concatenate([a] * n, axis=1)
+    return pltpu.repeat(a, n, axis=1)
+
+
+class PallasSpec:
+    """Static kernel schedule derived from a PackedTPPlan."""
+
+    def __init__(self, plan):
+        self.plan = plan
+        irreps_in = plan.irreps_in
+        irreps_out = plan.irreps_out
+        self.d_in = irreps_in.dim
+        self.d_out = irreps_out.dim
+        self.n_ch = plan.weight_numel
+
+        # ---- x m-major permutation: x_m[:, ofs + i*mul + u] = x[:, sl.start + u*d1 + i]
+        xperm = []
+        chunks = []  # (ofs_m, mul, d1, K, crofs)
+        ofs_m = 0
+        crofs = 0
+        crep_cols = []
+        summats = []
+        for (sl, mul, d1, C, groups) in plan.per_chunk:
+            K = C.shape[-1]
+            for i in range(d1):
+                for u in range(mul):
+                    xperm.append(sl.start + u * d1 + i)
+            chunks.append((ofs_m, mul, d1, K, crofs))
+            ofs_m += d1 * mul
+            if K:
+                # Crep_g: (S, d1*K*mul), column (i*K + k)*mul + u = C[:, i, k]
+                Cg = C.reshape(C.shape[0], d1 * K)
+                crep_cols.append(np.repeat(Cg, mul, axis=1))
+                # 0/1 k-block sum: (K*mul, mul), SUM[k*mul+u, u] = 1
+                sm = np.zeros((K * mul, mul), np.float32)
+                for k in range(K):
+                    sm[k * mul : (k + 1) * mul] = np.eye(mul, dtype=np.float32)
+                summats.append(sm)
+            else:
+                summats.append(None)
+            crofs += d1 * K * mul
+        self.x_perm = np.asarray(xperm, np.int32)
+        self.chunks = chunks
+        S = plan.per_chunk[0][3].shape[0] if plan.per_chunk else 0
+        self.Crep = (np.concatenate(crep_cols, axis=1) if crep_cols
+                     else np.zeros((S, 0))).astype(np.float32)
+        self.summats = summats
+        self.sum_rep = crofs
+
+        # ---- out chunk bases (m3-major kernel layout) + de-interleave gather
+        out_bases = []
+        o = 0
+        for mio in irreps_out:
+            out_bases.append(o)
+            o += mio.dim
+        self.out_bases = out_bases
+        deint = np.zeros(max(self.d_out, 1), np.int32)
+        for k_out, mio in enumerate(irreps_out):
+            b = out_bases[k_out]
+            d3, V = mio.ir.dim, mio.mul
+            for v in range(V):
+                for m3 in range(d3):
+                    deint[b + v * d3 + m3] = b + m3 * V + v
+        self.out_deint = deint[: self.d_out]
+
+        # ---- matmul schedule: same enumeration as PackedTPPlan._apply
+        self.Vmax = max((mio.mul for mio in irreps_out), default=1)
+        rows = 0
+        ops = []  # (g, k0, mul, ncols, d3, cb, r0, k_out, V)
+        wcat_rows = []
+        for k_out, mio in enumerate(irreps_out):
+            fan_in, ofs = plan.out_plans[k_out]
+            if fan_in == 0:
+                continue
+            scale = 1.0 / np.sqrt(fan_in)
+            V = mio.mul
+            for (g, gi, row_perm) in plan.out_sources[k_out]:
+                sl, mul, d1, C, groups = plan.per_chunk[g]
+                ir3, n_cols, k0, k1 = groups[gi]
+                cb = plan._grp_w_base[(g, gi)]
+                ncm = n_cols * mul
+                ops.append((g, k0, mul, n_cols, ir3.dim, cb, rows, k_out, V))
+                wcat_rows.append((rows, ncm, V, ofs, row_perm, scale))
+                rows += ncm
+        self.ops = ops
+        self.n_rows = max(rows, 1)
+
+        gather_idx = np.zeros((self.n_rows, self.Vmax), np.int64)
+        gather_scl = np.zeros((self.n_rows, self.Vmax), np.float32)
+        for (r0, ncm, V, ofs, row_perm, scale) in wcat_rows:
+            for p in range(ncm):
+                base = ofs + int(row_perm[p]) * V
+                gather_idx[r0 + p, :V] = base + np.arange(V)
+                gather_scl[r0 + p, :V] = scale
+        self.w_gather_idx = gather_idx.astype(np.int32)
+        self.w_gather_scl = gather_scl
+
+    # ------------------------------------------------------------------
+    def build_wcat(self, flat_w):
+        if flat_w is None or self.plan.linear_numel == 0:
+            return jnp.zeros((self.n_rows, self.Vmax), jnp.float32)
+        idx = jnp.asarray(self.w_gather_idx.reshape(-1))
+        scl = jnp.asarray(self.w_gather_scl)
+        g = jnp.take(flat_w.astype(jnp.float32), idx, axis=0)
+        return g.reshape(self.n_rows, self.Vmax) * scl
+
+    # ------------------------------------------------------------------
+    def _mids(self, x_ref, sh, crep_ref, interpret):
+        """Flat per-chunk mid tensors (E, K*mul), lanes k*mul + u."""
+        f32 = jnp.float32
+        mids = {}
+        for g, (ofs_m, mul, d1, K, crofs) in enumerate(self.chunks):
+            if K == 0:
+                continue
+            W_rep = jnp.dot(sh, crep_ref[:, crofs : crofs + d1 * K * mul],
+                            preferred_element_type=f32)
+            midf = None
+            for i in range(d1):
+                A = W_rep[:, i * K * mul : (i + 1) * K * mul]
+                B = _tile_lanes(
+                    x_ref[:, ofs_m + i * mul : ofs_m + (i + 1) * mul], K,
+                    interpret)
+                term = A * B
+                midf = term if midf is None else midf + term
+            mids[g] = midf
+        return mids
+
+    def _fwd_body(self, x_ref, sh_ref, w_ref, wcat_ref, crep_ref, out_ref,
+                  interpret):
+        f32 = jnp.float32
+        sh = sh_ref[:]
+        mids = self._mids(x_ref, sh, crep_ref, interpret)
+
+        accs = {}
+        for (g, k0, mul, ncols, d3, cb, r0, k_out, V) in self.ops:
+            ncm = ncols * mul
+            blk_all = mids[g][:, k0 * mul : k0 * mul + d3 * ncm]
+            if w_ref is not None:
+                blk_all = blk_all * _tile_lanes(
+                    w_ref[:, cb : cb + ncm], d3, interpret)
+            wsub = wcat_ref[r0 : r0 + ncm, :V]
+            for m3 in range(d3):
+                y = jnp.dot(blk_all[:, m3 * ncm : (m3 + 1) * ncm], wsub,
+                            preferred_element_type=f32)
+                key = (k_out, m3)
+                accs[key] = y if key not in accs else accs[key] + y
+
+        for k_out, mio in enumerate(self.plan.irreps_out):
+            b = self.out_bases[k_out]
+            d3, V = mio.ir.dim, mio.mul
+            for m3 in range(d3):
+                y = accs.get((k_out, m3))
+                if y is None:
+                    y = jnp.zeros((x_ref.shape[0], V), f32)
+                out_ref[:, b + m3 * V : b + (m3 + 1) * V] = y
+
+    # ------------------------------------------------------------------
+    def _bwd_body(self, x_ref, sh_ref, w_ref, wcat_ref, crep_ref, sum_ref,
+                  sofs, g_ref, dx_ref, dsh_ref, dw_ref, dwcat_ref, interpret):
+        f32 = jnp.float32
+
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            dwcat_ref[:] = jnp.zeros_like(dwcat_ref)
+
+        sh = sh_ref[:]
+        mids = self._mids(x_ref, sh, crep_ref, interpret)
+
+        # dmid blocks per (chunk, group): accumulated over out chunks that
+        # share the group (duplicate out irreps)
+        dblocks = {}
+        dw_acc = {}
+        for (g, k0, mul, ncols, d3, cb, r0, k_out, V) in self.ops:
+            ncm = ncols * mul
+            blk_u_all = mids[g][:, k0 * mul : k0 * mul + d3 * ncm]
+            wrow = (w_ref[:, cb : cb + ncm] if w_ref is not None else None)
+            if wrow is not None:
+                w_all = _tile_lanes(wrow, d3, interpret)
+                blk_s_all = blk_u_all * w_all
+            else:
+                blk_s_all = blk_u_all
+            wsub = wcat_ref[r0 : r0 + ncm, :V]
+            b = self.out_bases[k_out]
+            dws = None
+            dblk_s_parts = []
+            for m3 in range(d3):
+                blk_s = blk_s_all[:, m3 * ncm : (m3 + 1) * ncm]
+                gy = g_ref[:, b + m3 * V : b + (m3 + 1) * V]
+                d = jax.lax.dot_general(
+                    blk_s, gy, (((0,), (0,)), ((), ())),
+                    preferred_element_type=f32)
+                dws = d if dws is None else dws + d
+                dblk_s_parts.append(jax.lax.dot_general(
+                    gy, wsub, (((1,), (1,)), ((), ())),
+                    preferred_element_type=f32))
+            dwcat_ref[r0 : r0 + ncm, :V] += dws
+            dblk_s_all = (jnp.concatenate(dblk_s_parts, axis=1)
+                          if d3 > 1 else dblk_s_parts[0])
+            if wrow is not None:
+                prev = dw_acc.get((g, cb, ncm))
+                add = dblk_s_all * blk_u_all
+                dw_acc[(g, cb, ncm)] = add if prev is None else prev + add
+                dblk_u_all = dblk_s_all * w_all
+            else:
+                dblk_u_all = dblk_s_all
+            key = (g, k0, d3 * ncm)
+            dblocks[key] = (dblk_u_all if key not in dblocks
+                            else dblocks[key] + dblk_u_all)
+
+        if dw_ref is not None:
+            dw_ref[:] = jnp.zeros_like(dw_ref)
+            for (g, cb, ncm), val in dw_acc.items():
+                # sum the m3 copies of the scale gradient
+                acc = None
+                for m3 in range(val.shape[1] // ncm):
+                    piece = val[:, m3 * ncm : (m3 + 1) * ncm]
+                    acc = piece if acc is None else acc + piece
+                dw_ref[:, cb : cb + ncm] = acc
+
+        # assemble per-chunk dmid (lane order!) then dx / dsh
+        dx_ref[:] = jnp.zeros_like(dx_ref)
+        dsh = None
+        for g, (ofs_m, mul, d1, K, crofs) in enumerate(self.chunks):
+            if K == 0:
+                continue
+            blocks = [(k0, width, v) for (gg, k0, width), v in dblocks.items()
+                      if gg == g]
+            blocks.sort(key=lambda t: t[0])
+            pieces = []
+            pos = 0
+            for (k0, width, v) in blocks:
+                lo = k0 * mul
+                if lo > pos:
+                    pieces.append(jnp.zeros((v.shape[0], lo - pos), f32))
+                pieces.append(v)
+                pos = lo + width
+            total = K * mul
+            if pos < total:
+                pieces.append(jnp.zeros(
+                    (x_ref.shape[0], total - pos), f32))
+            dmidf = (jnp.concatenate(pieces, axis=1) if len(pieces) > 1
+                     else pieces[0])
+
+            W_rep = jnp.dot(sh, crep_ref[:, crofs : crofs + d1 * K * mul],
+                            preferred_element_type=f32)
+            dA_parts = []
+            for i in range(d1):
+                A = W_rep[:, i * K * mul : (i + 1) * K * mul]
+                xi = x_ref[:, ofs_m + i * mul : ofs_m + (i + 1) * mul]
+                B = _tile_lanes(xi, K, interpret)
+                dB = dmidf * A
+                so = sofs[g]
+                dx_ref[:, ofs_m + i * mul : ofs_m + (i + 1) * mul] = jnp.dot(
+                    dB, sum_ref[so : so + K * mul, 0:mul],
+                    preferred_element_type=f32)
+                dA_parts.append(dmidf * B)
+            dA = (jnp.concatenate(dA_parts, axis=1) if d1 > 1
+                  else dA_parts[0])
+            ds = jax.lax.dot_general(
+                dA, crep_ref[:, crofs : crofs + d1 * K * mul],
+                (((1,), (1,)), ((), ())), preferred_element_type=f32)
+            dsh = ds if dsh is None else dsh + ds
+        dsh_ref[:] = (dsh if dsh is not None
+                      else jnp.zeros_like(dsh_ref[:]))
+
+
+# ----------------------------------------------------------------------
+# pallas_call wrappers + custom VJP
+# ----------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _get_spec(plan_key):
+    from .packed_tp import get_plan
+
+    return PallasSpec(get_plan(*plan_key))
+
+
+def _pad_e(a, te):
+    E = a.shape[0]
+    pe = (E + te - 1) // te * te
+    if pe == E:
+        return a
+    return jnp.pad(a, ((0, pe - E), (0, 0)))
+
+
+def _stacked_summat(spec):
+    """Chunk k-sum matrices stacked on rows, zero-padded to a common width;
+    chunk g's block lives at rows [sofs[g] : sofs[g] + K*mul]."""
+    mats = [m for m in spec.summats if m is not None]
+    width = max((m.shape[1] for m in mats), default=1)
+    stacked = []
+    sofs = {}
+    r = 0
+    for g, m in enumerate(spec.summats):
+        if m is None:
+            continue
+        pad = np.zeros((m.shape[0], width), np.float32)
+        pad[:, : m.shape[1]] = m
+        stacked.append(pad)
+        sofs[g] = r
+        r += m.shape[0]
+    summat = (np.concatenate(stacked, axis=0) if stacked
+              else np.zeros((1, width), np.float32))
+    return summat, sofs
+
+
+def _fwd_call(spec: PallasSpec, x_m, sh, w, wcat, interpret):
+    E = x_m.shape[0]
+    te = TILE_E
+    xp, shp = _pad_e(x_m, te), _pad_e(sh, te)
+    wp = _pad_e(w, te) if w is not None else None
+    Ep = xp.shape[0]
+
+    def body(*refs):
+        if w is not None:
+            x_ref, sh_ref, w_ref, wcat_ref, crep_ref, out_ref = refs
+        else:
+            x_ref, sh_ref, wcat_ref, crep_ref, out_ref = refs
+            w_ref = None
+        spec._fwd_body(x_ref, sh_ref, w_ref, wcat_ref, crep_ref, out_ref,
+                       interpret)
+
+    ematch = lambda i: (i, 0)  # noqa: E731
+    const = lambda i: (0, 0)  # noqa: E731
+    crep = jnp.asarray(spec.Crep)
+    in_specs = [pl.BlockSpec((te, spec.d_in), ematch),
+                pl.BlockSpec((te, sh.shape[1]), ematch)]
+    args = [xp, shp]
+    if w is not None:
+        in_specs.append(pl.BlockSpec((te, spec.n_ch), ematch))
+        args.append(wp)
+    in_specs += [pl.BlockSpec(wcat.shape, const),
+                 pl.BlockSpec(crep.shape, const)]
+    args += [wcat, crep]
+
+    out = pl.pallas_call(
+        body,
+        grid=(Ep // te,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((te, spec.d_out), ematch),
+        out_shape=jax.ShapeDtypeStruct((Ep, spec.d_out), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(*args)
+    return out[:E]
+
+
+def _bwd_call(spec: PallasSpec, x_m, sh, w, wcat, gout, interpret):
+    E = x_m.shape[0]
+    te = TILE_E
+    xp, shp, gp = _pad_e(x_m, te), _pad_e(sh, te), _pad_e(gout, te)
+    wp = _pad_e(w, te) if w is not None else None
+    Ep = xp.shape[0]
+    S = sh.shape[1]
+
+    summat, sofs = _stacked_summat(spec)
+
+    def body(*refs):
+        if w is not None:
+            (x_ref, sh_ref, w_ref, wcat_ref, crep_ref, sum_all, g_ref,
+             dx_ref, dsh_ref, dw_ref, dwcat_ref) = refs
+        else:
+            (x_ref, sh_ref, wcat_ref, crep_ref, sum_all, g_ref,
+             dx_ref, dsh_ref, dwcat_ref) = refs
+            w_ref, dw_ref = None, None
+        spec._bwd_body(x_ref, sh_ref, w_ref, wcat_ref, crep_ref,
+                       sum_all, sofs, g_ref, dx_ref, dsh_ref,
+                       dw_ref, dwcat_ref, interpret)
+
+    ematch = lambda i: (i, 0)  # noqa: E731
+    const = lambda i: (0, 0)  # noqa: E731
+    crep = jnp.asarray(spec.Crep)
+    summat_j = jnp.asarray(summat)
+    in_specs = [pl.BlockSpec((te, spec.d_in), ematch),
+                pl.BlockSpec((te, S), ematch)]
+    args = [xp, shp]
+    if w is not None:
+        in_specs.append(pl.BlockSpec((te, spec.n_ch), ematch))
+        args.append(wp)
+    in_specs += [pl.BlockSpec(wcat.shape, const),
+                 pl.BlockSpec(crep.shape, const),
+                 pl.BlockSpec(summat_j.shape, const),
+                 pl.BlockSpec((te, spec.d_out), ematch)]
+    args += [wcat, crep, summat_j, gp]
+
+    out_shapes = [jax.ShapeDtypeStruct((Ep, spec.d_in), jnp.float32),
+                  jax.ShapeDtypeStruct((Ep, S), jnp.float32)]
+    out_specs = [pl.BlockSpec((te, spec.d_in), ematch),
+                 pl.BlockSpec((te, S), ematch)]
+    if w is not None:
+        out_shapes.append(jax.ShapeDtypeStruct((Ep, spec.n_ch), jnp.float32))
+        out_specs.append(pl.BlockSpec((te, spec.n_ch), ematch))
+    out_shapes.append(jax.ShapeDtypeStruct(wcat.shape, jnp.float32))
+    out_specs.append(pl.BlockSpec(wcat.shape, const))
+
+    outs = pl.pallas_call(
+        body,
+        grid=(Ep // te,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(*args)
+    if w is not None:
+        dx, dsh, dw, dwcat = outs
+        return dx[:E], dsh[:E], dw[:E], dwcat
+    dx, dsh, dwcat = outs
+    return dx[:E], dsh[:E], None, dwcat
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _pipeline(plan_key, has_w, interpret, x_m, sh, w, wcat):
+    spec = _get_spec(plan_key)
+    return _fwd_call(spec, x_m, sh, w if has_w else None, wcat, interpret)
+
+
+def _pipeline_fwd(plan_key, has_w, interpret, x_m, sh, w, wcat):
+    out = _pipeline(plan_key, has_w, interpret, x_m, sh, w, wcat)
+    return out, (x_m, sh, w, wcat)
+
+
+def _pipeline_bwd(plan_key, has_w, interpret, res, g):
+    x_m, sh, w, wcat = res
+    spec = _get_spec(plan_key)
+    dx, dsh, dw, dwcat = _bwd_call(
+        spec, x_m, sh, w if has_w else None, wcat, g, interpret)
+    if dw is None:
+        dw = jnp.zeros_like(w)
+    return dx, dsh, dw, dwcat
+
+
+_pipeline.defvjp(_pipeline_fwd, _pipeline_bwd)
+
+
+def pallas_apply(plan, x, sh, weight, flat_w, interpret=None):
+    """Run the packed pipeline through the Pallas kernels.
+
+    Same contract as ``PackedTPPlan._apply`` with ``weight`` already in packed
+    order.  ``plan.key`` identifies the plan in ``packed_tp.get_plan``'s cache
+    so the custom-VJP closure stays hashable/static.
+    """
+    spec = _get_spec(plan.key)
+    if interpret is None:  # compiled on TPU, interpreter elsewhere (tests)
+        interpret = jax.devices()[0].platform != "tpu"
+    batch_shape = x.shape[:-1]
+    E = int(np.prod(batch_shape)) if batch_shape else 1
+    x2 = x.reshape(E, x.shape[-1]).astype(jnp.float32)
+    sh2 = sh.reshape(E, sh.shape[-1]).astype(jnp.float32)
+    x_m = jnp.take(x2, jnp.asarray(spec.x_perm), axis=-1)
+    wcat = spec.build_wcat(flat_w)
+    has_w = weight is not None
+    w2 = (weight.reshape(E, weight.shape[-1]).astype(jnp.float32)
+          if has_w else jnp.zeros((E, max(spec.n_ch, 1)), jnp.float32))
+    out_m3 = _pipeline(plan.key, has_w, interpret, x_m, sh2, w2, wcat)
+    out = jnp.take(out_m3, jnp.asarray(spec.out_deint), axis=-1)
+    return out.reshape(*batch_shape, spec.d_out).astype(x.dtype)
