@@ -12,28 +12,31 @@ in VMEM: one grid step processes a tile of TILE_E edges end-to-end, and HBM
 traffic per tile is just the operands (x, sh, w) and the output.
 
 Mosaic (TPU Pallas) restricts vector ops to 2D-friendly forms — no 3D lane
-merges/splits, no element-repeat along lanes, no lane-axis reductions (probed
-on v5e; see tools_dev/mosaic_probe*.py) — so the kernel is formulated entirely
-in flat 2D lane layouts:
+merges/splits, no element-repeat along lanes, no lane-axis reductions, no
+scatter-add (probed on v5e; see tools_dev/mosaic_probe*.py) — so the kernel is
+formulated entirely in flat 2D lane layouts:
 
-  per input chunk g (mul copies of irrep l1, d1 = 2*l1+1):
-    W_rep = sh_tile @ Crep_g          one MXU dot; Crep_g is the chunk's
-                                      coupling matrix with every column
-                                      pre-duplicated mul times on the host, so
-                                      the "element-repeat" the VPU cannot do
-                                      comes straight out of the matmul
-    mid   = sum_i W_rep[:, i-block] * tile(x[:, (g,i)-block], K)
+  per input chunk g (mul copies of irrep l1, d1 = 2*l1+1), per i < d1:
+    W_rep_i = sh_tile @ Crep_gi       one MXU dot; Crep is the coupling matrix
+                                      with every column pre-duplicated mul
+                                      times on the host, so the
+                                      "element-repeat" the VPU cannot do comes
+                                      straight out of the matmul
+    mid    += W_rep_i * tile(x[:, (g,i)-block], K)
                                       (pltpu.repeat = whole-vector tile)
     lanes of mid are k*mul + u with k m3-major inside each ir3 group
-  per (out chunk, source group):
-    blk   = mid[:, group lanes] * tile(w[:, cb:cb+ncm], d3)   (radial scale)
-    per m3: acc[out][:, m3*V:+V] += blk[:, m3-slice] @ Wcat[r0:r0+ncm, :V]
+  per output chunk, per m3:
+    BLK = concat over source groups of (mid group-m3 slice * radial w slice)
+    out[:, b+m3*V : +V] = BLK @ Wcat[rows(out), :V]     one MXU dot
+                                      (dot count ~ out chunks x d3, not
+                                      sources x d3 — per-dot setup dominates
+                                      at small M, so fewer/wider dots win)
 
 The backward pass is a second kernel with the same structure (recomputes mids
 in VMEM — nothing wide is ever an AD residual): dWcat/dw/dsh come from
-transposed dots, and dx contracts the k-blocks with a 0/1 block-sum matrix
-(again: MXU does what the VPU cannot).  dWcat accumulates across grid steps
-into a revisited output block.
+transposed dots; dx sums the k-blocks of (dmid * W_rep_i) by exact
+tree-halving lane adds (bit-identical fp32, no bf16 matmul rounding); dWcat
+accumulates across grid steps into a revisited output block.
 
 Layout contract (precomputed in ``PallasSpec``, applied with static gathers
 outside the kernels where XLA autodiff handles them):
@@ -61,7 +64,16 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_E = 128
+
+def _tile_cfg(name, default):
+    try:
+        return int(os.environ.get(name, default))
+    except ValueError:
+        return default
+
+
+TILE_FWD = _tile_cfg("HAMGNN_TP_TILE_FWD", 256)
+TILE_BWD = _tile_cfg("HAMGNN_TP_TILE_BWD", 128)
 
 
 def use_pallas() -> bool:
@@ -85,6 +97,26 @@ def _tile_lanes(a, n, interpret):
     return pltpu.repeat(a, n, axis=1)
 
 
+def _tree_ksum(a, K, mul):
+    """Exact fp32 sum of the K blocks of mul lanes: (E, K*mul) -> (E, mul).
+
+    Tree-halving lane adds (the VPU path); Mosaic has no lane-axis reduce and
+    a 0/1 sum-matmul would round through bf16 on the MXU.
+    """
+    K2 = 1
+    while K2 < K:
+        K2 *= 2
+    if K2 != K:
+        a = jnp.concatenate(
+            [a, jnp.zeros((a.shape[0], (K2 - K) * mul), a.dtype)], axis=1)
+    w = K2
+    while w > 1:
+        h = w // 2
+        a = a[:, : h * mul] + a[:, h * mul : w * mul]
+        w = h
+    return a
+
+
 class PallasSpec:
     """Static kernel schedule derived from a PackedTPPlan."""
 
@@ -102,7 +134,6 @@ class PallasSpec:
         ofs_m = 0
         crofs = 0
         crep_cols = []
-        summats = []
         for (sl, mul, d1, C, groups) in plan.per_chunk:
             K = C.shape[-1]
             for i in range(d1):
@@ -111,23 +142,15 @@ class PallasSpec:
             chunks.append((ofs_m, mul, d1, K, crofs))
             ofs_m += d1 * mul
             if K:
-                # Crep_g: (S, d1*K*mul), column (i*K + k)*mul + u = C[:, i, k]
+                # Crep_g: (S, d1*K*mul), column (i*K + k)*mul + u = C[:, i*K+k]
                 Cg = C.reshape(C.shape[0], d1 * K)
                 crep_cols.append(np.repeat(Cg, mul, axis=1))
-                # 0/1 k-block sum: (K*mul, mul), SUM[k*mul+u, u] = 1
-                sm = np.zeros((K * mul, mul), np.float32)
-                for k in range(K):
-                    sm[k * mul : (k + 1) * mul] = np.eye(mul, dtype=np.float32)
-                summats.append(sm)
-            else:
-                summats.append(None)
             crofs += d1 * K * mul
         self.x_perm = np.asarray(xperm, np.int32)
         self.chunks = chunks
         S = plan.per_chunk[0][3].shape[0] if plan.per_chunk else 0
         self.Crep = (np.concatenate(crep_cols, axis=1) if crep_cols
                      else np.zeros((S, 0))).astype(np.float32)
-        self.summats = summats
         self.sum_rep = crofs
 
         # ---- out chunk bases (m3-major kernel layout) + de-interleave gather
@@ -146,10 +169,12 @@ class PallasSpec:
                     deint[b + v * d3 + m3] = b + m3 * V + v
         self.out_deint = deint[: self.d_out]
 
-        # ---- matmul schedule: same enumeration as PackedTPPlan._apply
+        # ---- per-out-chunk schedule (merged dots): Wcat rows for an out
+        # chunk are its source-group blocks stacked contiguously, in
+        # PackedTPPlan.out_sources order (same enumeration as _apply)
         self.Vmax = max((mio.mul for mio in irreps_out), default=1)
         rows = 0
-        ops = []  # (g, k0, mul, ncols, d3, cb, r0, k_out, V)
+        sched = []  # (k_out, b, d3, V, r0, fan_rows, sources)
         wcat_rows = []
         for k_out, mio in enumerate(irreps_out):
             fan_in, ofs = plan.out_plans[k_out]
@@ -157,15 +182,19 @@ class PallasSpec:
                 continue
             scale = 1.0 / np.sqrt(fan_in)
             V = mio.mul
+            r0 = rows
+            sources = []  # (g, k0, mul, ncols, cb)
             for (g, gi, row_perm) in plan.out_sources[k_out]:
                 sl, mul, d1, C, groups = plan.per_chunk[g]
                 ir3, n_cols, k0, k1 = groups[gi]
                 cb = plan._grp_w_base[(g, gi)]
                 ncm = n_cols * mul
-                ops.append((g, k0, mul, n_cols, ir3.dim, cb, rows, k_out, V))
+                sources.append((g, k0, mul, n_cols, cb))
                 wcat_rows.append((rows, ncm, V, ofs, row_perm, scale))
                 rows += ncm
-        self.ops = ops
+            sched.append((k_out, self.out_bases[k_out], mio.ir.dim, V, r0,
+                          rows - r0, tuple(sources)))
+        self.sched = sched
         self.n_rows = max(rows, 1)
 
         gather_idx = np.zeros((self.n_rows, self.Vmax), np.int64)
@@ -195,15 +224,16 @@ class PallasSpec:
         for g, (ofs_m, mul, d1, K, crofs) in enumerate(self.chunks):
             if K == 0:
                 continue
-            W_rep = jnp.dot(sh, crep_ref[:, crofs : crofs + d1 * K * mul],
-                            preferred_element_type=f32)
             midf = None
             for i in range(d1):
-                A = W_rep[:, i * K * mul : (i + 1) * K * mul]
+                W_rep = jnp.dot(
+                    sh,
+                    crep_ref[:, crofs + i * K * mul : crofs + (i + 1) * K * mul],
+                    preferred_element_type=f32)
                 B = _tile_lanes(
                     x_ref[:, ofs_m + i * mul : ofs_m + (i + 1) * mul], K,
                     interpret)
-                term = A * B
+                term = W_rep * B
                 midf = term if midf is None else midf + term
             mids[g] = midf
         return mids
@@ -211,35 +241,35 @@ class PallasSpec:
     def _fwd_body(self, x_ref, sh_ref, w_ref, wcat_ref, crep_ref, out_ref,
                   interpret):
         f32 = jnp.float32
-        sh = sh_ref[:]
-        mids = self._mids(x_ref, sh, crep_ref, interpret)
+        mids = self._mids(x_ref, sh_ref[:], crep_ref, interpret)
 
-        accs = {}
-        for (g, k0, mul, ncols, d3, cb, r0, k_out, V) in self.ops:
-            ncm = ncols * mul
-            blk_all = mids[g][:, k0 * mul : k0 * mul + d3 * ncm]
-            if w_ref is not None:
-                blk_all = blk_all * _tile_lanes(
-                    w_ref[:, cb : cb + ncm], d3, interpret)
-            wsub = wcat_ref[r0 : r0 + ncm, :V]
+        for (k_out, b, d3, V, r0, fan_rows, sources) in self.sched:
+            wrows = wcat_ref[r0 : r0 + fan_rows, :V]
             for m3 in range(d3):
-                y = jnp.dot(blk_all[:, m3 * ncm : (m3 + 1) * ncm], wsub,
-                            preferred_element_type=f32)
-                key = (k_out, m3)
-                accs[key] = y if key not in accs else accs[key] + y
+                parts = []
+                for (g, k0, mul, ncols, cb) in sources:
+                    ncm = ncols * mul
+                    lo = k0 * mul + m3 * ncm
+                    blk = mids[g][:, lo : lo + ncm]
+                    if w_ref is not None:
+                        blk = blk * w_ref[:, cb : cb + ncm]
+                    parts.append(blk)
+                BLK = (jnp.concatenate(parts, axis=1) if len(parts) > 1
+                       else parts[0])
+                out_ref[:, b + m3 * V : b + (m3 + 1) * V] = jnp.dot(
+                    BLK, wrows, preferred_element_type=f32)
 
+        covered = {k_out for (k_out, *_r) in self.sched}
         for k_out, mio in enumerate(self.plan.irreps_out):
+            if k_out in covered:
+                continue
             b = self.out_bases[k_out]
-            d3, V = mio.ir.dim, mio.mul
-            for m3 in range(d3):
-                y = accs.get((k_out, m3))
-                if y is None:
-                    y = jnp.zeros((x_ref.shape[0], V), f32)
-                out_ref[:, b + m3 * V : b + (m3 + 1) * V] = y
+            out_ref[:, b : b + mio.dim] = jnp.zeros(
+                (x_ref.shape[0], mio.dim), f32)
 
     # ------------------------------------------------------------------
-    def _bwd_body(self, x_ref, sh_ref, w_ref, wcat_ref, crep_ref, sum_ref,
-                  sofs, g_ref, dx_ref, dsh_ref, dw_ref, dwcat_ref, interpret):
+    def _bwd_body(self, x_ref, sh_ref, w_ref, wcat_ref, crep_ref, g_ref,
+                  dx_ref, dsh_ref, dw_ref, dwcat_ref, interpret):
         f32 = jnp.float32
 
         @pl.when(pl.program_id(0) == 0)
@@ -249,100 +279,92 @@ class PallasSpec:
         sh = sh_ref[:]
         mids = self._mids(x_ref, sh, crep_ref, interpret)
 
-        # dmid blocks per (chunk, group): accumulated over out chunks that
-        # share the group (duplicate out irreps)
-        dblocks = {}
-        dw_acc = {}
-        for (g, k0, mul, ncols, d3, cb, r0, k_out, V) in self.ops:
-            ncm = ncols * mul
-            blk_u_all = mids[g][:, k0 * mul : k0 * mul + d3 * ncm]
-            wrow = (w_ref[:, cb : cb + ncm] if w_ref is not None else None)
-            if wrow is not None:
-                w_all = _tile_lanes(wrow, d3, interpret)
-                blk_s_all = blk_u_all * w_all
-            else:
-                blk_s_all = blk_u_all
-            wsub = wcat_ref[r0 : r0 + ncm, :V]
-            b = self.out_bases[k_out]
-            dws = None
-            dblk_s_parts = []
+        dmid_blocks = {}  # (g, k0, m3, ncm) -> (E, ncm)
+        dw_acc = {}       # (g, cb, ncm) -> (E, ncm)
+        for (k_out, b, d3, V, r0, fan_rows, sources) in self.sched:
+            wrows = wcat_ref[r0 : r0 + fan_rows, :V]
+            dwr = None
             for m3 in range(d3):
-                blk_s = blk_s_all[:, m3 * ncm : (m3 + 1) * ncm]
+                parts = []
+                for (g, k0, mul, ncols, cb) in sources:
+                    ncm = ncols * mul
+                    lo = k0 * mul + m3 * ncm
+                    blk = mids[g][:, lo : lo + ncm]
+                    if w_ref is not None:
+                        blk = blk * w_ref[:, cb : cb + ncm]
+                    parts.append(blk)
+                BLK_s = (jnp.concatenate(parts, axis=1) if len(parts) > 1
+                         else parts[0])
                 gy = g_ref[:, b + m3 * V : b + (m3 + 1) * V]
                 d = jax.lax.dot_general(
-                    blk_s, gy, (((0,), (0,)), ((), ())),
+                    BLK_s, gy, (((0,), (0,)), ((), ())),
                     preferred_element_type=f32)
-                dws = d if dws is None else dws + d
-                dblk_s_parts.append(jax.lax.dot_general(
-                    gy, wsub, (((1,), (1,)), ((), ())),
-                    preferred_element_type=f32))
-            dwcat_ref[r0 : r0 + ncm, :V] += dws
-            dblk_s_all = (jnp.concatenate(dblk_s_parts, axis=1)
-                          if d3 > 1 else dblk_s_parts[0])
-            if wrow is not None:
-                prev = dw_acc.get((g, cb, ncm))
-                add = dblk_s_all * blk_u_all
-                dw_acc[(g, cb, ncm)] = add if prev is None else prev + add
-                dblk_u_all = dblk_s_all * w_all
-            else:
-                dblk_u_all = dblk_s_all
-            key = (g, k0, d3 * ncm)
-            dblocks[key] = (dblk_u_all if key not in dblocks
-                            else dblocks[key] + dblk_u_all)
+                dwr = d if dwr is None else dwr + d
+                dBLK = jax.lax.dot_general(
+                    gy, wrows, (((1,), (1,)), ((), ())),
+                    preferred_element_type=f32)
+                pos = 0
+                for (g, k0, mul, ncols, cb) in sources:
+                    ncm = ncols * mul
+                    dblk_s = dBLK[:, pos : pos + ncm]
+                    pos += ncm
+                    lo = k0 * mul + m3 * ncm
+                    if w_ref is not None:
+                        blk_u = mids[g][:, lo : lo + ncm]
+                        kw = (g, cb, ncm)
+                        add = dblk_s * blk_u
+                        dw_acc[kw] = (add if kw not in dw_acc
+                                      else dw_acc[kw] + add)
+                        dblk_u = dblk_s * w_ref[:, cb : cb + ncm]
+                    else:
+                        dblk_u = dblk_s
+                    km = (g, k0, m3, ncm)
+                    dmid_blocks[km] = (dblk_u if km not in dmid_blocks
+                                       else dmid_blocks[km] + dblk_u)
+            dwcat_ref[r0 : r0 + fan_rows, :V] += dwr
 
         if dw_ref is not None:
             dw_ref[:] = jnp.zeros_like(dw_ref)
             for (g, cb, ncm), val in dw_acc.items():
-                # sum the m3 copies of the scale gradient
-                acc = None
-                for m3 in range(val.shape[1] // ncm):
-                    piece = val[:, m3 * ncm : (m3 + 1) * ncm]
-                    acc = piece if acc is None else acc + piece
-                dw_ref[:, cb : cb + ncm] = acc
+                dw_ref[:, cb : cb + ncm] = val
 
-        # assemble per-chunk dmid (lane order!) then dx / dsh
+        # assemble per-chunk dmid in lane order, then dx / dsh
         dx_ref[:] = jnp.zeros_like(dx_ref)
         dsh = None
+        E = x_ref.shape[0]
         for g, (ofs_m, mul, d1, K, crofs) in enumerate(self.chunks):
             if K == 0:
                 continue
-            blocks = [(k0, width, v) for (gg, k0, width), v in dblocks.items()
-                      if gg == g]
-            blocks.sort(key=lambda t: t[0])
+            blocks = sorted(
+                ((k0, m3, ncm, v) for (gg, k0, m3, ncm), v
+                 in dmid_blocks.items() if gg == g),
+                key=lambda t: t[0] * mul + t[1] * t[2])
             pieces = []
             pos = 0
-            for (k0, width, v) in blocks:
-                lo = k0 * mul
+            for (k0, m3, ncm, v) in blocks:
+                lo = k0 * mul + m3 * ncm
                 if lo > pos:
-                    pieces.append(jnp.zeros((v.shape[0], lo - pos), f32))
+                    pieces.append(jnp.zeros((E, lo - pos), f32))
                 pieces.append(v)
-                pos = lo + width
+                pos = lo + ncm
             total = K * mul
             if pos < total:
-                pieces.append(jnp.zeros(
-                    (x_ref.shape[0], total - pos), f32))
+                pieces.append(jnp.zeros((E, total - pos), f32))
             dmidf = (jnp.concatenate(pieces, axis=1) if len(pieces) > 1
                      else pieces[0])
 
-            W_rep = jnp.dot(sh, crep_ref[:, crofs : crofs + d1 * K * mul],
-                            preferred_element_type=f32)
-            dA_parts = []
             for i in range(d1):
-                A = W_rep[:, i * K * mul : (i + 1) * K * mul]
+                cslice = crep_ref[
+                    :, crofs + i * K * mul : crofs + (i + 1) * K * mul]
+                W_rep = jnp.dot(sh, cslice, preferred_element_type=f32)
                 xi = x_ref[:, ofs_m + i * mul : ofs_m + (i + 1) * mul]
                 B = _tile_lanes(xi, K, interpret)
-                dB = dmidf * A
-                so = sofs[g]
-                dx_ref[:, ofs_m + i * mul : ofs_m + (i + 1) * mul] = jnp.dot(
-                    dB, sum_ref[so : so + K * mul, 0:mul],
+                dx_ref[:, ofs_m + i * mul : ofs_m + (i + 1) * mul] = (
+                    _tree_ksum(dmidf * W_rep, K, mul))
+                ds = jax.lax.dot_general(
+                    dmidf * B, cslice, (((1,), (1,)), ((), ())),
                     preferred_element_type=f32)
-                dA_parts.append(dmidf * B)
-            dA = (jnp.concatenate(dA_parts, axis=1) if d1 > 1
-                  else dA_parts[0])
-            ds = jax.lax.dot_general(
-                dA, crep_ref[:, crofs : crofs + d1 * K * mul],
-                (((1,), (1,)), ((), ())), preferred_element_type=f32)
-            dsh = ds if dsh is None else dsh + ds
+                dsh = ds if dsh is None else dsh + ds
         dsh_ref[:] = (dsh if dsh is not None
                       else jnp.zeros_like(dsh_ref[:]))
 
@@ -366,30 +388,9 @@ def _pad_e(a, te):
     return jnp.pad(a, ((0, pe - E), (0, 0)))
 
 
-def _stacked_summat(spec):
-    """Chunk k-sum matrices stacked on rows, zero-padded to a common width;
-    chunk g's block lives at rows [sofs[g] : sofs[g] + K*mul]."""
-    mats = [m for m in spec.summats if m is not None]
-    width = max((m.shape[1] for m in mats), default=1)
-    stacked = []
-    sofs = {}
-    r = 0
-    for g, m in enumerate(spec.summats):
-        if m is None:
-            continue
-        pad = np.zeros((m.shape[0], width), np.float32)
-        pad[:, : m.shape[1]] = m
-        stacked.append(pad)
-        sofs[g] = r
-        r += m.shape[0]
-    summat = (np.concatenate(stacked, axis=0) if stacked
-              else np.zeros((1, width), np.float32))
-    return summat, sofs
-
-
 def _fwd_call(spec: PallasSpec, x_m, sh, w, wcat, interpret):
     E = x_m.shape[0]
-    te = TILE_E
+    te = TILE_FWD
     xp, shp = _pad_e(x_m, te), _pad_e(sh, te)
     wp = _pad_e(w, te) if w is not None else None
     Ep = xp.shape[0]
@@ -424,37 +425,33 @@ def _fwd_call(spec: PallasSpec, x_m, sh, w, wcat, interpret):
         out_shape=jax.ShapeDtypeStruct((Ep, spec.d_out), jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=120 * 1024 * 1024),
     )(*args)
     return out[:E]
 
 
 def _bwd_call(spec: PallasSpec, x_m, sh, w, wcat, gout, interpret):
     E = x_m.shape[0]
-    te = TILE_E
+    te = TILE_BWD
     xp, shp, gp = _pad_e(x_m, te), _pad_e(sh, te), _pad_e(gout, te)
     wp = _pad_e(w, te) if w is not None else None
     Ep = xp.shape[0]
     S = sh.shape[1]
 
-    summat, sofs = _stacked_summat(spec)
-
     def body(*refs):
         if w is not None:
-            (x_ref, sh_ref, w_ref, wcat_ref, crep_ref, sum_all, g_ref,
+            (x_ref, sh_ref, w_ref, wcat_ref, crep_ref, g_ref,
              dx_ref, dsh_ref, dw_ref, dwcat_ref) = refs
         else:
-            (x_ref, sh_ref, wcat_ref, crep_ref, sum_all, g_ref,
+            (x_ref, sh_ref, wcat_ref, crep_ref, g_ref,
              dx_ref, dsh_ref, dwcat_ref) = refs
             w_ref, dw_ref = None, None
-        spec._bwd_body(x_ref, sh_ref, w_ref, wcat_ref, crep_ref,
-                       sum_all, sofs, g_ref, dx_ref, dsh_ref,
-                       dw_ref, dwcat_ref, interpret)
+        spec._bwd_body(x_ref, sh_ref, w_ref, wcat_ref, crep_ref, g_ref,
+                       dx_ref, dsh_ref, dw_ref, dwcat_ref, interpret)
 
     ematch = lambda i: (i, 0)  # noqa: E731
     const = lambda i: (0, 0)  # noqa: E731
     crep = jnp.asarray(spec.Crep)
-    summat_j = jnp.asarray(summat)
     in_specs = [pl.BlockSpec((te, spec.d_in), ematch),
                 pl.BlockSpec((te, S), ematch)]
     args = [xp, shp]
@@ -463,9 +460,8 @@ def _bwd_call(spec: PallasSpec, x_m, sh, w, wcat, gout, interpret):
         args.append(wp)
     in_specs += [pl.BlockSpec(wcat.shape, const),
                  pl.BlockSpec(crep.shape, const),
-                 pl.BlockSpec(summat_j.shape, const),
                  pl.BlockSpec((te, spec.d_out), ematch)]
-    args += [wcat, crep, summat_j, gp]
+    args += [wcat, crep, gp]
 
     out_shapes = [jax.ShapeDtypeStruct((Ep, spec.d_in), jnp.float32),
                   jax.ShapeDtypeStruct((Ep, S), jnp.float32)]
@@ -485,7 +481,7 @@ def _bwd_call(spec: PallasSpec, x_m, sh, w, wcat, gout, interpret):
         out_shape=out_shapes,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=120 * 1024 * 1024),
     )(*args)
     if w is not None:
         dx, dsh, dw, dwcat = outs
