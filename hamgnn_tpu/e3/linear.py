@@ -113,11 +113,14 @@ class Linear(fnn.Module):
             out_chunks.append(acc.reshape(acc.shape[:-2] + (mio.dim,)))
         return jnp.concatenate(out_chunks, axis=-1)
 
-    def packed_tp_call(self, tp_irreps_in, tp_irreps_sh, x, sh, weight=None):
+    def packed_tp_call(self, tp_irreps_in, tp_irreps_sh, x, sh, weight=None,
+                       sh_needs_grad=True):
         """Fused TP -> (optional per-channel scale) -> this Linear, executed in
         the packed lane-dense layout (see e3/packed_tp.py).  Equivalent to
         ``self.call_chunks(SHTensorProductExpansion(tp_irreps_in, tp_irreps_sh,
         target).chunk_call(x, sh))`` with target == this layer's semantics.
+        Pass ``sh_needs_grad=False`` when ``sh`` is data (edge spherical
+        harmonics) so the TPU kernel skips its cotangent.
         """
         from .packed_tp import get_plan
 
@@ -126,7 +129,7 @@ class Linear(fnn.Module):
                         repr(out), repr(out))
         if plan.linear_numel != (0 if self._w is None else self._w.size):
             raise ValueError("packed plan does not match this Linear's weights")
-        return plan(x, sh, weight, self._w)
+        return plan(x, sh, weight, self._w, sh_needs_grad=sh_needs_grad)
 
 
 class ElementwiseChannelScale(fnn.Module):
@@ -182,18 +185,21 @@ class ElementwiseChannelScale(fnn.Module):
         return self.linear_out.call_chunks(scaled)
 
     def packed_tp_call(self, tp_irreps_in, tp_irreps_sh, x, sh, weight,
-                       target_irreps=None, weight_packed=False):
+                       target_irreps=None, weight_packed=False,
+                       sh_needs_grad=True):
         """Fused TP -> per-channel radial scale -> linear_out in the packed
         lane-dense layout (e3/packed_tp.py): same parameters and math as
         ``self.call_chunks(SHTensorProductExpansion(...).chunk_call(x, sh),
         weight)`` but ~10x fewer, lane-aligned XLA ops.  Pass
         ``weight_packed=True`` when the radial generator already emits packed
-        channel order (``make_weight_generator(..., out_perm=...)``)."""
+        channel order (``make_weight_generator(..., out_perm=...)``), and
+        ``sh_needs_grad=False`` when ``sh`` is data (edge SH)."""
         plan = self.packed_plan(tp_irreps_in, tp_irreps_sh, target_irreps)
         lw = self.linear_out._w
         if plan.linear_numel != (0 if lw is None else lw.size):
             raise ValueError("packed plan does not match linear_out weights")
-        return plan(x, sh, weight, lw, weight_packed=weight_packed)
+        return plan(x, sh, weight, lw, weight_packed=weight_packed,
+                    sh_needs_grad=sh_needs_grad)
 
     def packed_plan(self, tp_irreps_in, tp_irreps_sh, target_irreps=None):
         from .packed_tp import get_plan

@@ -179,7 +179,7 @@ class PackedTPPlan:
     # -- runtime ---------------------------------------------------------
 
     def __call__(self, x, sh, weight, flat_w, weight_packed=False,
-                 compute_dtype=None):
+                 compute_dtype=None, sh_needs_grad=True):
         """Apply the fused pipeline (rematerialized in the backward pass).
 
         x: (..., irreps_in.dim); sh: (..., S); weight: (..., weight_numel)
@@ -204,8 +204,10 @@ class PackedTPPlan:
 
         if use_pallas():
             # the Pallas engine has its own VMEM-resident backward kernel
-            # (mids are never AD residuals there either)
-            return pallas_apply(self, x, sh, weight, flat_w)
+            # (mids are never AD residuals there either); ``sh_needs_grad``
+            # lets edge-SH callers skip the (large) dsh cotangent dots
+            return pallas_apply(self, x, sh, weight, flat_w,
+                                sh_needs_grad=sh_needs_grad)
 
         if weight is None:
             return jax.checkpoint(

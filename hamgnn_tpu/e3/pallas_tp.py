@@ -192,6 +192,11 @@ class PallasSpec:
                 sources.append((g, k0, mul, n_cols, cb))
                 wcat_rows.append((rows, ncm, V, ofs, row_perm, scale))
                 rows += ncm
+            # 8-align each out chunk's row block: unaligned sublane slices of
+            # Wcat force a relayout before every dot; the pad rows are zero
+            # (and BLK gets matching zero lanes), so results are unchanged
+            pad = (-(rows - r0)) % 8
+            rows += pad
             sched.append((k_out, self.out_bases[k_out], mio.ir.dim, V, r0,
                           rows - r0, tuple(sources)))
         self.sched = sched
@@ -254,6 +259,9 @@ class PallasSpec:
                     if w_ref is not None:
                         blk = blk * w_ref[:, cb : cb + ncm]
                     parts.append(blk)
+                pad = fan_rows - sum(p.shape[1] for p in parts)
+                if pad:
+                    parts.append(jnp.zeros((x_ref.shape[0], pad), f32))
                 BLK = (jnp.concatenate(parts, axis=1) if len(parts) > 1
                        else parts[0])
                 out_ref[:, b + m3 * V : b + (m3 + 1) * V] = jnp.dot(
@@ -269,7 +277,8 @@ class PallasSpec:
 
     # ------------------------------------------------------------------
     def _bwd_body(self, x_ref, sh_ref, w_ref, wcat_ref, crep_ref, g_ref,
-                  dx_ref, dsh_ref, dw_ref, dwcat_ref, interpret):
+                  dx_ref, dsh_ref, dw_ref, dwcat_ref, interpret,
+                  need_dsh=True):
         f32 = jnp.float32
 
         @pl.when(pl.program_id(0) == 0)
@@ -293,6 +302,9 @@ class PallasSpec:
                     if w_ref is not None:
                         blk = blk * w_ref[:, cb : cb + ncm]
                     parts.append(blk)
+                pad = fan_rows - sum(p.shape[1] for p in parts)
+                if pad:
+                    parts.append(jnp.zeros((x_ref.shape[0], pad), f32))
                 BLK_s = (jnp.concatenate(parts, axis=1) if len(parts) > 1
                          else parts[0])
                 gy = g_ref[:, b + m3 * V : b + (m3 + 1) * V]
@@ -358,13 +370,16 @@ class PallasSpec:
                     :, crofs + i * K * mul : crofs + (i + 1) * K * mul]
                 W_rep = jnp.dot(sh, cslice, preferred_element_type=f32)
                 xi = x_ref[:, ofs_m + i * mul : ofs_m + (i + 1) * mul]
-                B = _tile_lanes(xi, K, interpret)
                 dx_ref[:, ofs_m + i * mul : ofs_m + (i + 1) * mul] = (
                     _tree_ksum(dmidf * W_rep, K, mul))
-                ds = jax.lax.dot_general(
-                    dmidf * B, cslice, (((1,), (1,)), ((), ())),
-                    preferred_element_type=f32)
-                dsh = ds if dsh is None else dsh + ds
+                if need_dsh:
+                    # sh is usually edge spherical harmonics (data, no grad):
+                    # the cotangent is only built when a caller asks for it
+                    B = _tile_lanes(xi, K, interpret)
+                    ds = jax.lax.dot_general(
+                        dmidf * B, cslice, (((1,), (1,)), ((), ())),
+                        preferred_element_type=f32)
+                    dsh = ds if dsh is None else dsh + ds
         dsh_ref[:] = (dsh if dsh is not None
                       else jnp.zeros_like(dsh_ref[:]))
 
@@ -430,7 +445,8 @@ def _fwd_call(spec: PallasSpec, x_m, sh, w, wcat, interpret):
     return out[:E]
 
 
-def _bwd_call(spec: PallasSpec, x_m, sh, w, wcat, gout, interpret):
+def _bwd_call(spec: PallasSpec, x_m, sh, w, wcat, gout, interpret,
+              need_dsh=True):
     E = x_m.shape[0]
     te = TILE_BWD
     xp, shp, gp = _pad_e(x_m, te), _pad_e(sh, te), _pad_e(gout, te)
@@ -447,7 +463,8 @@ def _bwd_call(spec: PallasSpec, x_m, sh, w, wcat, gout, interpret):
              dx_ref, dsh_ref, dwcat_ref) = refs
             w_ref, dw_ref = None, None
         spec._bwd_body(x_ref, sh_ref, w_ref, wcat_ref, crep_ref, g_ref,
-                       dx_ref, dsh_ref, dw_ref, dwcat_ref, interpret)
+                       dx_ref, dsh_ref, dw_ref, dwcat_ref, interpret,
+                       need_dsh)
 
     ematch = lambda i: (i, 0)  # noqa: E731
     const = lambda i: (0, 0)  # noqa: E731
@@ -490,22 +507,23 @@ def _bwd_call(spec: PallasSpec, x_m, sh, w, wcat, gout, interpret):
     return dx[:E], dsh[:E], None, dwcat
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _pipeline(plan_key, has_w, interpret, x_m, sh, w, wcat):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _pipeline(plan_key, has_w, interpret, need_dsh, x_m, sh, w, wcat):
     spec = _get_spec(plan_key)
     return _fwd_call(spec, x_m, sh, w if has_w else None, wcat, interpret)
 
 
-def _pipeline_fwd(plan_key, has_w, interpret, x_m, sh, w, wcat):
-    out = _pipeline(plan_key, has_w, interpret, x_m, sh, w, wcat)
+def _pipeline_fwd(plan_key, has_w, interpret, need_dsh, x_m, sh, w, wcat):
+    out = _pipeline(plan_key, has_w, interpret, need_dsh, x_m, sh, w, wcat)
     return out, (x_m, sh, w, wcat)
 
 
-def _pipeline_bwd(plan_key, has_w, interpret, res, g):
+def _pipeline_bwd(plan_key, has_w, interpret, need_dsh, res, g):
     x_m, sh, w, wcat = res
     spec = _get_spec(plan_key)
     dx, dsh, dw, dwcat = _bwd_call(
-        spec, x_m, sh, w if has_w else None, wcat, g, interpret)
+        spec, x_m, sh, w if has_w else None, wcat, g, interpret,
+        need_dsh=need_dsh)
     if dw is None:
         dw = jnp.zeros_like(w)
     return dx, dsh, dw, dwcat
@@ -514,7 +532,8 @@ def _pipeline_bwd(plan_key, has_w, interpret, res, g):
 _pipeline.defvjp(_pipeline_fwd, _pipeline_bwd)
 
 
-def pallas_apply(plan, x, sh, weight, flat_w, interpret=None):
+def pallas_apply(plan, x, sh, weight, flat_w, interpret=None,
+                 sh_needs_grad=True):
     """Run the packed pipeline through the Pallas kernels.
 
     Same contract as ``PackedTPPlan._apply`` with ``weight`` already in packed
@@ -533,6 +552,7 @@ def pallas_apply(plan, x, sh, weight, flat_w, interpret=None):
     has_w = weight is not None
     w2 = (weight.reshape(E, weight.shape[-1]).astype(jnp.float32)
           if has_w else jnp.zeros((E, max(spec.n_ch, 1)), jnp.float32))
-    out_m3 = _pipeline(plan.key, has_w, interpret, x_m, sh2, w2, wcat)
+    out_m3 = _pipeline(plan.key, has_w, interpret, bool(sh_needs_grad),
+                       x_m, sh2, w2, wcat)
     out = jnp.take(out_m3, jnp.asarray(spec.out_deint), axis=-1)
     return out.reshape(*batch_shape, spec.d_out).astype(x.dtype)

@@ -113,10 +113,12 @@ class MessagePackBlock(fnn.Module):
         if self.lite_mode:
             node_dn = Linear(mid_node.simplify(), irreps_out,
                              name="node_scaler").packed_tp_call(
-                combined, irreps_sh, node_inter, local_env_edge)
+                combined, irreps_sh, node_inter, local_env_edge,
+                sh_needs_grad=False)
             edge_dn = Linear(mid_edge.simplify(), irreps_out,
                              name="edge_scaler").packed_tp_call(
-                irreps_edge, irreps_sh, edge_feats, local_env_edge)
+                irreps_edge, irreps_sh, edge_feats, local_env_edge,
+                sh_needs_grad=False)
             combine = ElementwiseChannelScale(
                 irreps_in=irreps_out.simplify(), irreps_out=irreps_out, name="combine")
             w = make_weight_generator(
@@ -141,10 +143,10 @@ class MessagePackBlock(fnn.Module):
             self.use_kan, out_perm=edge_plan.scale_perm)(edge_scalars)
         node_dn = node_scaler.packed_tp_call(
             combined, irreps_sh, node_inter, local_env_edge, w_node,
-            weight_packed=True)
+            weight_packed=True, sh_needs_grad=False)
         edge_dn = edge_scaler.packed_tp_call(
             irreps_edge, irreps_sh, edge_feats, local_env_edge, w_edge,
-            weight_packed=True)
+            weight_packed=True, sh_needs_grad=False)
         out = (Linear(irreps_out, irreps_out, name="node_out")(node_dn)
                + Linear(irreps_out, irreps_out, name="edge_out")(edge_dn))
         return out
@@ -296,7 +298,7 @@ class PairInteractionEmbeddingBlock(fnn.Module):
             self.num_edge_scalars, self.radial_mlp, scaler.weight_numel,
             self.use_kan, out_perm=plan.scale_perm)(edge_scalars)
         return scaler.packed_tp_call(irreps_node, irreps_sh, x, edge_sh, w,
-                                     weight_packed=True)
+                                     weight_packed=True, sh_needs_grad=False)
 
 
 class CorrProductBlock(fnn.Module):

@@ -43,8 +43,19 @@ def init_params_on_cpu(model, example, seed: int = 666, method=None):
             return model.init(key, ex, method=method)
         return model.init(key, ex)
 
-    with jax.default_device(cpu):
-        params = jax.jit(do_init, backend="cpu")(jax.random.PRNGKey(seed), example)
+    # init traces for the CPU backend: force the XLA tensor-product engine
+    # (TPU Pallas kernels can't lower for CPU; parameters are identical)
+    prev_eng = os.environ.get("HAMGNN_TP_ENGINE")
+    os.environ["HAMGNN_TP_ENGINE"] = "xla"
+    try:
+        with jax.default_device(cpu):
+            params = jax.jit(do_init, backend="cpu")(
+                jax.random.PRNGKey(seed), example)
+    finally:
+        if prev_eng is None:
+            os.environ.pop("HAMGNN_TP_ENGINE", None)
+        else:
+            os.environ["HAMGNN_TP_ENGINE"] = prev_eng
     default = jax.devices()[0]
     if default.platform != "cpu":
         params = jax.device_put(params, default)

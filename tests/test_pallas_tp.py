@@ -98,3 +98,21 @@ def test_pallas_gradients_no_weight():
     gb = jax.grad(loss_p, argnums=(0, 1, 2))(x, sh, fw)
     for a, b, name in zip(ga, gb, ["dx", "dsh", "dflat_w"]):
         np.testing.assert_allclose(a, b, atol=5e-5, rtol=5e-4, err_msg=name)
+
+
+def test_pallas_sh_needs_grad_false():
+    """sh_needs_grad=False must not change out/dx/dw/dflat_w (dsh is the only
+    cotangent skipped)."""
+    plan, x, sh, w, fw = _setup(*CASES[0])
+
+    def loss(flag, x, w, fw):
+        return jnp.sum(jnp.sin(pallas_apply(
+            plan, x, sh, w, fw, interpret=True, sh_needs_grad=flag)))
+
+    va, ga = jax.value_and_grad(lambda *a: loss(True, *a),
+                                argnums=(0, 1, 2))(x, w, fw)
+    vb, gb = jax.value_and_grad(lambda *a: loss(False, *a),
+                                argnums=(0, 1, 2))(x, w, fw)
+    np.testing.assert_allclose(va, vb, rtol=1e-6)
+    for a, b, name in zip(ga, gb, ["dx", "dw", "dflat_w"]):
+        np.testing.assert_allclose(a, b, atol=1e-6, rtol=1e-6, err_msg=name)

@@ -72,10 +72,20 @@ def main(E=10240):
     print(f"fwd  XLA    : {t:8.3f} ms")
     t = device_time_ms(fwd_p, (x, shv, w, fw), n=5, verbose=True)
     print(f"fwd  PALLAS : {t:8.3f} ms")
+    @jax.jit
+    def vjp_p_nodsh(x, shv, w, fw):
+        def f(xx, ww, fww):
+            return jnp.sum(jnp.sin(pallas_apply(
+                plan, xx, shv, ww, fww, interpret=False,
+                sh_needs_grad=False)))
+        return jax.value_and_grad(f, argnums=(0, 1, 2))(x, w, fw)
+
     t = device_time_ms(vjp_x, (x, shv, w, fw), n=5, verbose=True)
     print(f"fbwd XLA    : {t:8.3f} ms")
     t = device_time_ms(vjp_p, (x, shv, w, fw), n=5, verbose=True)
     print(f"fbwd PALLAS : {t:8.3f} ms")
+    t = device_time_ms(vjp_p_nodsh, (x, shv, w, fw), n=5, verbose=True)
+    print(f"fbwd PALLAS (no dsh): {t:8.3f} ms")
 
 
 if __name__ == "__main__":
