@@ -202,24 +202,40 @@ class PallasSpec:
         self.sched = sched
         self.n_rows = max(rows, 1)
 
-        gather_idx = np.zeros((self.n_rows, self.Vmax), np.int64)
-        gather_scl = np.zeros((self.n_rows, self.Vmax), np.float32)
-        for (r0, ncm, V, ofs, row_perm, scale) in wcat_rows:
-            for p in range(ncm):
-                base = ofs + int(row_perm[p]) * V
-                gather_idx[r0 + p, :V] = base + np.arange(V)
-                gather_scl[r0 + p, :V] = scale
-        self.w_gather_idx = gather_idx.astype(np.int32)
-        self.w_gather_scl = gather_scl
+        # Wcat build plan: per out chunk, a contiguous flat_w slice viewed as
+        # (fan_in, V) with rows permuted — a ROW gather (fast DMA on TPU; a
+        # flat element gather here measured ~1.4 ms per call on v5e).
+        build = []  # (ofs, fan_in, V, scale, row_perm over concatenated srcs)
+        i = 0
+        for (k_out, b, d3, V, r0, fan_rows, sources) in sched:
+            fan_in, ofs = plan.out_plans[k_out]
+            perms = []
+            n_src = len(sources)
+            for _ in range(n_src):
+                (rr0, ncm, VV, oofs, row_perm, scale) = wcat_rows[i]
+                perms.append(np.asarray(row_perm, np.int32))
+                i += 1
+            perm = np.concatenate(perms) if perms else np.zeros(0, np.int32)
+            build.append((ofs, fan_in, V, float(1.0 / np.sqrt(fan_in)),
+                          perm, fan_rows))
+        self.wcat_build = build
 
     # ------------------------------------------------------------------
     def build_wcat(self, flat_w):
         if flat_w is None or self.plan.linear_numel == 0:
             return jnp.zeros((self.n_rows, self.Vmax), jnp.float32)
-        idx = jnp.asarray(self.w_gather_idx.reshape(-1))
-        scl = jnp.asarray(self.w_gather_scl)
-        g = jnp.take(flat_w.astype(jnp.float32), idx, axis=0)
-        return g.reshape(self.n_rows, self.Vmax) * scl
+        fw = flat_w.astype(jnp.float32)
+        blocks = []
+        for (ofs, fan_in, V, scale, perm, fan_rows) in self.wcat_build:
+            W2 = fw[ofs : ofs + fan_in * V].reshape(fan_in, V)
+            Wp = jnp.take(W2, jnp.asarray(perm), axis=0) * scale
+            if V < self.Vmax:
+                Wp = jnp.pad(Wp, ((0, 0), (0, self.Vmax - V)))
+            if fan_rows > fan_in:  # 8-alignment pad rows
+                Wp = jnp.pad(Wp, ((0, fan_rows - fan_in), (0, 0)))
+            blocks.append(Wp)
+        return (jnp.concatenate(blocks, axis=0) if blocks
+                else jnp.zeros((self.n_rows, self.Vmax), jnp.float32))
 
     # ------------------------------------------------------------------
     def _mids(self, x_ref, sh, crep_ref, interpret):
