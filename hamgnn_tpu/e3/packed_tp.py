@@ -133,19 +133,35 @@ class PackedTPPlan:
 
         # ---- scale channel permutation ----
         # chunked-path channel order (what the radial MLP emits by default):
-        # per (g, grp) block, (u-major, path-minor).  Packed order: per block,
-        # (path-major, u-minor), so each group's scale vector broadcasts over
-        # m3 as ONE contiguous multiply — no gather in the forward and no
-        # scatter in the backward.  scale_perm[packed_pos] = original channel.
-        perm = np.zeros(n_ch, np.int32)
-        grp_w_base = {}     # (g, grp_idx) -> packed offset into weight vector
+        # per (g, grp) block in chunk-major order, (u-major, path-minor)
+        # inside.  Packed order: blocks arranged OUT-CHUNK-MAJOR (the order
+        # out_sources visits them; ties broken by first use) with
+        # (path-major, u-minor) inside — so each group's scale vector
+        # broadcasts over m3 as one contiguous multiply AND each output
+        # chunk's radial weights form one contiguous span (the Pallas kernels
+        # then scale a whole fan-in block with a single multiply).
+        # scale_perm[packed_pos] = original channel.
+        packed_base = {}   # (g, grp_idx) -> packed offset into weight vector
+        pos = 0
+        for mio in irreps_out:
+            for (g, gi, ir3, n_cols, mul, ch_base, rb) in chunk_meta:
+                if ir3 != mio.ir or (g, gi) in packed_base:
+                    continue
+                packed_base[(g, gi)] = pos
+                pos += n_cols * mul
         for (g, gi, ir3, n_cols, mul, ch_base, rb) in chunk_meta:
-            grp_w_base[(g, gi)] = ch_base
+            if (g, gi) not in packed_base:  # target-only groups (no out chunk)
+                packed_base[(g, gi)] = pos
+                pos += n_cols * mul
+        assert pos == n_ch
+        perm = np.zeros(n_ch, np.int32)
+        for (g, gi, ir3, n_cols, mul, ch_base, rb) in chunk_meta:
+            pb = packed_base[(g, gi)]
             j_idx = np.repeat(np.arange(n_cols), mul)
             u_idx = np.tile(np.arange(mul), n_cols)
-            perm[ch_base : ch_base + n_cols * mul] = ch_base + u_idx * n_cols + j_idx
+            perm[pb : pb + n_cols * mul] = ch_base + u_idx * n_cols + j_idx
         self.scale_perm = perm
-        self._grp_w_base = grp_w_base
+        self._grp_w_base = packed_base
 
         # ---- linear plan: same as e3/linear.py Linear(mid.simplify(), out) ----
         # flat-weight layout: for each output chunk k (irreps_out order), a

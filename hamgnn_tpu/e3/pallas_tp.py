@@ -72,8 +72,10 @@ def _tile_cfg(name, default):
         return default
 
 
-TILE_FWD = _tile_cfg("HAMGNN_TP_TILE_FWD", 256)
-TILE_BWD = _tile_cfg("HAMGNN_TP_TILE_BWD", 128)
+# measured on v5e (tools_dev/pallas_smoke.py): fwd kernels fit VMEM up to
+# 512-edge tiles; the bwd kernel additionally holds dmid buffers
+TILE_FWD = _tile_cfg("HAMGNN_TP_TILE_FWD", 512)
+TILE_BWD = _tile_cfg("HAMGNN_TP_TILE_BWD", 256)
 
 
 def use_pallas() -> bool:
@@ -197,8 +199,18 @@ class PallasSpec:
             # (and BLK gets matching zero lanes), so results are unchanged
             pad = (-(rows - r0)) % 8
             rows += pad
+            # contiguous radial-weight span (out-chunk-major packed order):
+            # one multiply per BLK instead of one per source
+            wb = sources[0][4] if sources else 0
+            run = wb
+            fast = True
+            for (g, k0, mul, ncols, cb) in sources:
+                if cb != run:
+                    fast = False  # duplicate out irreps share a group's span
+                    break
+                run += ncols * mul
             sched.append((k_out, self.out_bases[k_out], mio.ir.dim, V, r0,
-                          rows - r0, tuple(sources)))
+                          rows - r0, tuple(sources), wb, fast))
         self.sched = sched
         self.n_rows = max(rows, 1)
 
@@ -207,7 +219,7 @@ class PallasSpec:
         # flat element gather here measured ~1.4 ms per call on v5e).
         build = []  # (ofs, fan_in, V, scale, row_perm over concatenated srcs)
         i = 0
-        for (k_out, b, d3, V, r0, fan_rows, sources) in sched:
+        for (k_out, b, d3, V, r0, fan_rows, sources, wb, fast) in sched:
             fan_in, ofs = plan.out_plans[k_out]
             perms = []
             n_src = len(sources)
@@ -264,22 +276,28 @@ class PallasSpec:
         f32 = jnp.float32
         mids = self._mids(x_ref, sh_ref[:], crep_ref, interpret)
 
-        for (k_out, b, d3, V, r0, fan_rows, sources) in self.sched:
+        for (k_out, b, d3, V, r0, fan_rows, sources, wb, fast) in self.sched:
             wrows = wcat_ref[r0 : r0 + fan_rows, :V]
+            fan_in = sum(nc * mu for (_g, _k, mu, nc, _c) in sources)
+            wspan = (w_ref[:, wb : wb + fan_in]
+                     if (w_ref is not None and fast) else None)
             for m3 in range(d3):
                 parts = []
                 for (g, k0, mul, ncols, cb) in sources:
                     ncm = ncols * mul
                     lo = k0 * mul + m3 * ncm
                     blk = mids[g][:, lo : lo + ncm]
-                    if w_ref is not None:
+                    if w_ref is not None and wspan is None:
                         blk = blk * w_ref[:, cb : cb + ncm]
                     parts.append(blk)
-                pad = fan_rows - sum(p.shape[1] for p in parts)
-                if pad:
-                    parts.append(jnp.zeros((x_ref.shape[0], pad), f32))
                 BLK = (jnp.concatenate(parts, axis=1) if len(parts) > 1
                        else parts[0])
+                if wspan is not None:
+                    BLK = BLK * wspan
+                if fan_rows > fan_in:
+                    BLK = jnp.concatenate(
+                        [BLK, jnp.zeros((x_ref.shape[0], fan_rows - fan_in),
+                                        f32)], axis=1)
                 out_ref[:, b + m3 * V : b + (m3 + 1) * V] = jnp.dot(
                     BLK, wrows, preferred_element_type=f32)
 
@@ -304,25 +322,33 @@ class PallasSpec:
         sh = sh_ref[:]
         mids = self._mids(x_ref, sh, crep_ref, interpret)
 
+        if dw_ref is not None:
+            dw_ref[:] = jnp.zeros_like(dw_ref)
+
         dmid_blocks = {}  # (g, k0, m3, ncm) -> (E, ncm)
-        dw_acc = {}       # (g, cb, ncm) -> (E, ncm)
-        for (k_out, b, d3, V, r0, fan_rows, sources) in self.sched:
+        for (k_out, b, d3, V, r0, fan_rows, sources, wb, fast) in self.sched:
             wrows = wcat_ref[r0 : r0 + fan_rows, :V]
+            fan_in = sum(nc * mu for (_g, _k, mu, nc, _c) in sources)
+            wspan = (w_ref[:, wb : wb + fan_in]
+                     if (w_ref is not None and fast) else None)
             dwr = None
+            dw_sum = None
             for m3 in range(d3):
                 parts = []
                 for (g, k0, mul, ncols, cb) in sources:
                     ncm = ncols * mul
                     lo = k0 * mul + m3 * ncm
                     blk = mids[g][:, lo : lo + ncm]
-                    if w_ref is not None:
+                    if w_ref is not None and wspan is None:
                         blk = blk * w_ref[:, cb : cb + ncm]
                     parts.append(blk)
-                pad = fan_rows - sum(p.shape[1] for p in parts)
-                if pad:
-                    parts.append(jnp.zeros((x_ref.shape[0], pad), f32))
-                BLK_s = (jnp.concatenate(parts, axis=1) if len(parts) > 1
-                         else parts[0])
+                BLK = (jnp.concatenate(parts, axis=1) if len(parts) > 1
+                       else parts[0])   # unscaled iff fast
+                BLK_s = BLK * wspan if wspan is not None else BLK
+                if fan_rows > fan_in:
+                    BLK_s = jnp.concatenate(
+                        [BLK_s, jnp.zeros((x_ref.shape[0],
+                                           fan_rows - fan_in), f32)], axis=1)
                 gy = g_ref[:, b + m3 * V : b + (m3 + 1) * V]
                 d = jax.lax.dot_general(
                     BLK_s, gy, (((0,), (0,)), ((), ())),
@@ -330,31 +356,39 @@ class PallasSpec:
                 dwr = d if dwr is None else dwr + d
                 dBLK = jax.lax.dot_general(
                     gy, wrows, (((1,), (1,)), ((), ())),
-                    preferred_element_type=f32)
-                pos = 0
-                for (g, k0, mul, ncols, cb) in sources:
-                    ncm = ncols * mul
-                    dblk_s = dBLK[:, pos : pos + ncm]
-                    pos += ncm
-                    lo = k0 * mul + m3 * ncm
-                    if w_ref is not None:
-                        blk_u = mids[g][:, lo : lo + ncm]
-                        kw = (g, cb, ncm)
-                        add = dblk_s * blk_u
-                        dw_acc[kw] = (add if kw not in dw_acc
-                                      else dw_acc[kw] + add)
-                        dblk_u = dblk_s * w_ref[:, cb : cb + ncm]
-                    else:
-                        dblk_u = dblk_s
-                    km = (g, k0, m3, ncm)
-                    dmid_blocks[km] = (dblk_u if km not in dmid_blocks
-                                       else dmid_blocks[km] + dblk_u)
+                    preferred_element_type=f32)[:, :fan_in]
+                if wspan is not None:
+                    # fast path: whole-span dw + unscaled dmid in 2 multiplies
+                    add = dBLK * BLK
+                    dw_sum = add if dw_sum is None else dw_sum + add
+                    dblk_u_all = dBLK * wspan
+                    pos = 0
+                    for (g, k0, mul, ncols, cb) in sources:
+                        ncm = ncols * mul
+                        km = (g, k0, m3, ncm)
+                        piece = dblk_u_all[:, pos : pos + ncm]
+                        pos += ncm
+                        dmid_blocks[km] = (piece if km not in dmid_blocks
+                                           else dmid_blocks[km] + piece)
+                else:
+                    pos = 0
+                    for (g, k0, mul, ncols, cb) in sources:
+                        ncm = ncols * mul
+                        dblk_s = dBLK[:, pos : pos + ncm]
+                        pos += ncm
+                        lo = k0 * mul + m3 * ncm
+                        if w_ref is not None:
+                            blk_u = mids[g][:, lo : lo + ncm]
+                            dw_ref[:, cb : cb + ncm] += dblk_s * blk_u
+                            dblk_u = dblk_s * w_ref[:, cb : cb + ncm]
+                        else:
+                            dblk_u = dblk_s
+                        km = (g, k0, m3, ncm)
+                        dmid_blocks[km] = (dblk_u if km not in dmid_blocks
+                                           else dmid_blocks[km] + dblk_u)
             dwcat_ref[r0 : r0 + fan_rows, :V] += dwr
-
-        if dw_ref is not None:
-            dw_ref[:] = jnp.zeros_like(dw_ref)
-            for (g, cb, ncm), val in dw_acc.items():
-                dw_ref[:, cb : cb + ncm] = val
+            if wspan is not None and dw_sum is not None:
+                dw_ref[:, wb : wb + fan_in] += dw_sum
 
         # assemble per-chunk dmid in lane order, then dx / dsh
         dx_ref[:] = jnp.zeros_like(dx_ref)
