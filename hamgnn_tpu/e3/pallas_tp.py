@@ -72,10 +72,23 @@ def _tile_cfg(name, default):
         return default
 
 
-# measured on v5e (tools_dev/pallas_smoke.py): fwd kernels fit VMEM up to
-# 512-edge tiles; the bwd kernel additionally holds dmid buffers
-TILE_FWD = _tile_cfg("HAMGNN_TP_TILE_FWD", 512)
-TILE_BWD = _tile_cfg("HAMGNN_TP_TILE_BWD", 256)
+# optional global overrides; by default the tile is sized per plan from its
+# VMEM footprint (see PallasSpec.tile_fwd/tile_bwd)
+TILE_FWD = _tile_cfg("HAMGNN_TP_TILE_FWD", 0)
+TILE_BWD = _tile_cfg("HAMGNN_TP_TILE_BWD", 0)
+
+# per-edge-row VMEM working set that scales with the tile (fp32 words); the
+# budgets are calibrated on v5e against the bench node pipeline, where
+# fwd@512 / bwd@256 compile and run well inside VMEM
+_FWD_BUDGET_WORDS = 15_000_000
+_BWD_BUDGET_WORDS = 12_000_000
+
+
+def _auto_tile(words_per_row, budget):
+    te = 128
+    while te < 1024 and words_per_row * te * 2 <= budget:
+        te *= 2
+    return te
 
 
 def use_pallas() -> bool:
@@ -231,6 +244,18 @@ class PallasSpec:
             build.append((ofs, fan_in, V, float(1.0 / np.sqrt(fan_in)),
                           perm, fan_rows))
         self.wcat_build = build
+
+        # ---- per-plan tile sizes from the VMEM working set (fp32 words/row)
+        midw = sum(K * mul for (_o, mul, _d, K, _c) in chunks)
+        max_wrep = max((d1 * K * mul for (_o, mul, d1, K, _c) in chunks),
+                       default=0)
+        max_fan = max((fr for (_k, _b, _d, _V, _r, fr, _s, _w, _f) in sched),
+                      default=0)
+        base = self.d_in + self.n_ch + self.d_out + 32 + max_fan
+        fwd_words = base + midw + max_wrep
+        bwd_words = base + 2 * midw + max_wrep + 3 * max_fan
+        self.tile_fwd = TILE_FWD or _auto_tile(fwd_words, _FWD_BUDGET_WORDS)
+        self.tile_bwd = TILE_BWD or _auto_tile(bwd_words, _BWD_BUDGET_WORDS)
 
     # ------------------------------------------------------------------
     def build_wcat(self, flat_w):
@@ -455,7 +480,7 @@ def _pad_e(a, te):
 
 def _fwd_call(spec: PallasSpec, x_m, sh, w, wcat, interpret):
     E = x_m.shape[0]
-    te = TILE_FWD
+    te = spec.tile_fwd
     xp, shp = _pad_e(x_m, te), _pad_e(sh, te)
     wp = _pad_e(w, te) if w is not None else None
     Ep = xp.shape[0]
@@ -498,7 +523,7 @@ def _fwd_call(spec: PallasSpec, x_m, sh, w, wcat, interpret):
 def _bwd_call(spec: PallasSpec, x_m, sh, w, wcat, gout, interpret,
               need_dsh=True):
     E = x_m.shape[0]
-    te = TILE_BWD
+    te = spec.tile_bwd
     xp, shp, gp = _pad_e(x_m, te), _pad_e(sh, te), _pad_e(gout, te)
     wp = _pad_e(w, te) if w is not None else None
     Ep = xp.shape[0]
