@@ -9,10 +9,13 @@ train-step edges/s for this production-representative config (3 layers,
 lmax-4 features, lmax-4 edge SH, radial-MLP-weighted CG tensor products,
 Hamiltonian output head, AdamW update) — i.e. vs_baseline = value / 50_000.
 
-Case: 512-atom production crystal, no gradient checkpointing — the streaming
-chunked tensor-product path (e3/fused_tp.py chunk_call + e3/linear.py
-call_chunks) keeps peak HBM under the 16G budget where the concatenated mid
-tensor formulation needed 22G.
+Case: 512-atom production crystal, no gradient checkpointing — the Pallas
+TP engine (e3/pallas_tp.py) keeps the wide mid-irreps tensors in VMEM (they
+never reach HBM, forward or backward), so no remat is needed at this size.
+
+Timing is trace-derived device time (utils/profiling.py): wall clock through
+a remote-accelerator tunnel dedupes repeated identical executions and
+over-reports throughput by orders of magnitude.
 """
 
 import json
