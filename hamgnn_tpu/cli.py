@@ -188,10 +188,17 @@ def _dump_resolved_config(config) -> None:
 
 
 def train_and_evaluate(config) -> None:
+    from .parallel.multihost import is_primary, maybe_initialize_distributed
     from .train.trainer import Trainer
 
+    # multi-host (replaces the reference's DDP strategy selection,
+    # main.py:300-323): env-driven jax.distributed bring-up; host-side
+    # effects below are rank-zero gated
+    maybe_initialize_distributed()
+
     data = prepare_dataset(config)
-    _dump_resolved_config(config)
+    if is_primary():
+        _dump_resolved_config(config)
     model = build_model(config)
     trainer = Trainer(
         model,
@@ -229,7 +236,12 @@ def train_and_evaluate(config) -> None:
 
 
 def _save_predictions(config, preds_all) -> None:
-    """Save prediction/target .npy in the reference's interleaved layout."""
+    """Save prediction/target .npy in the reference's interleaved layout
+    (rank-zero only, like the reference's Model.py:541-567)."""
+    from .parallel.multihost import is_primary
+
+    if not is_primary():
+        return
     out_dir = config.profiler_params.train_dir
     os.makedirs(out_dir, exist_ok=True)
     preds, targets = [], []

@@ -138,8 +138,15 @@ class Trainer:
         self.max_epochs = max_epochs
         self.train_dir = train_dir
         self.gradient_clip_val = gradient_clip_val
-        os.makedirs(train_dir, exist_ok=True)
-        self._log_f = open(os.path.join(train_dir, "metrics.jsonl"), "a")
+        from ..parallel.multihost import is_primary
+
+        # rank-zero gate (reference: trainer.is_global_zero, Model.py:109-111)
+        self._primary = is_primary()
+        if self._primary:
+            os.makedirs(train_dir, exist_ok=True)
+            self._log_f = open(os.path.join(train_dir, "metrics.jsonl"), "a")
+        else:
+            self._log_f = None
 
         # AdamW(amsgrad, weight_decay=0) per the reference (Model.py:424-431);
         # unit learning rate here, the host-driven plateau LR scales updates in
@@ -273,11 +280,12 @@ class Trainer:
                 "sec": time.time() - t0,
                 **{f"val/{k}": v for k, v in val_logs.items()},
             }
-            self._log_f.write(json.dumps(record) + "\n")
-            self._log_f.flush()
+            if self._log_f is not None:
+                self._log_f.write(json.dumps(record) + "\n")
+                self._log_f.flush()
             if val_loss < best_val:
                 best_val = val_loss
-                if checkpoint:
+                if checkpoint and self._primary:
                     self.save_checkpoint(os.path.join(self.train_dir, "best"))
             if epoch >= self.min_epochs and self.stopper.step(val_loss):
                 break

@@ -279,3 +279,21 @@ class TestParallelTrainer:
         last = trainer.eval_epoch_crystals(crystals)
         assert np.isfinite(first) and np.isfinite(last)
         assert last < 0.7 * first, (first, last)
+
+
+def test_multihost_helpers_single_process():
+    """Single-process semantics of the multi-host layer (multi-process needs
+    real multi-host hardware; sharding equivalence is covered above)."""
+    import numpy as np
+
+    from hamgnn_tpu.parallel.multihost import (
+        allgather_metrics, is_primary, maybe_initialize_distributed,
+        process_count)
+
+    assert maybe_initialize_distributed() is False  # no env configured
+    assert is_primary()
+    assert process_count() == 1
+    out = allgather_metrics({"loss": np.float32(1.5),
+                             "mae": np.ones((3,), np.float32)})
+    assert out["loss"].shape == (1,)
+    assert out["mae"].shape == (1, 3)
