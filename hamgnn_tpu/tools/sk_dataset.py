@@ -1,0 +1,321 @@
+"""Synthetic Slater-Koster DFT dataset generator (training-proof harness).
+
+Produces *physically consistent* tight-binding Hamiltonians/overlaps for
+rattled Si / C (diamond) and SiC (zincblende) crystals and writes genuine
+SCFOUT v3 binaries (+ ``overlap.scfout`` H0 files and OpenMX ``.dat`` inputs)
+so the data flows through the repo's own end-to-end pipeline:
+
+    sk_dataset -> openmx.scfout -> graph_data_gen (parse_scfout + pack_crystal)
+               -> graph_data.npz -> HamGNN2.0 fit -> band_cal
+
+The teacher is a generalized two-center Slater-Koster model expressed in the
+framework's own irreps machinery: for each orbital-pair path (l_i, l_j, L) the
+block contribution is ``V_p(r, z_i, z_j) * Y_L(n)`` assembled with the exact
+``sqrt(2L+1) w3j`` merge matrix of the output head, plus an environment-
+dependent (crystal-field) on-site term.  This makes the targets exactly
+E(3)-equivariant in the same convention the model uses — like real DFT
+Hamiltonians, but cheap.  H = H0 + dH with independent parameter sets mirrors
+the reference's non-SCF H0 + learned correction workflow
+(/root/reference/hamgnn/models/hamgnn_output.py:3603-3612).
+
+All randomness is seeded: datasets regenerate bit-identically.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from dataclasses import dataclass
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from ..data.neighborlist import neighbor_list_pbc, inverse_edge_index
+from ..e3.spherical import spherical_harmonics
+from ..models.basis import get_basis_set, hamiltonian_irreps
+from ..models.output import _merge_reorder_matrix
+from ..interfaces.scfout_writer import write_scfout
+
+AU2ANG = 0.5291772490000065
+
+# synthetic "PAO" radii (Bohr); pair cutoff = r_i + r_j
+PAO_RADIUS = {14: 4.5, 6: 3.4}
+
+# lattice constants (Angstrom)
+A_SI, A_C, A_SIC = 5.431, 3.567, 4.360
+
+
+def _fcc_primitive(a_ang: float, z1: int, z2: int):
+    """Two-atom diamond/zincblende primitive cell, in Bohr."""
+    a = a_ang / AU2ANG
+    cell = 0.5 * a * np.array([[0.0, 1, 1], [1, 0, 1], [1, 1, 0]])
+    pos = np.array([[0.0, 0, 0], [0.25, 0.25, 0.25]]) @ cell
+    return cell, pos, np.array([z1, z2], np.int64)
+
+
+@dataclass
+class SKParams:
+    """Seeded teacher parameters for one (H-like or S-like) channel."""
+    A: np.ndarray          # (P,) path amplitudes
+    rho: np.ndarray        # (P,) decay lengths (Bohr)
+    kappa: np.ndarray      # (P,) crystal-field strengths
+    omega: Dict[int, np.ndarray]   # z -> (P,) static on-site (L=0 paths only)
+    species: Dict[int, np.ndarray]  # z -> (n_slots,) per-orbital-slot factor
+
+
+class SKTeacher:
+    """Generalized Slater-Koster two-center model over the basis irreps."""
+
+    def __init__(self, ham_type: str = "openmx", nao_max: int = 14,
+                 seed: int = 0, amp: float = 0.6, s_amp: float = 0.10,
+                 zs: Tuple[int, ...] = (14, 6)):
+        self.basis = get_basis_set(ham_type, nao_max)
+        self.nao = nao_max
+        self.M = _merge_reorder_matrix(ham_type, nao_max)  # (D, nao^2)
+        self.D = self.M.shape[0]
+        # path table in the exact merge-matrix component order
+        self.paths: List[Tuple[int, int, int, int, int, int]] = []
+        comp = 0
+        slots = list(self.basis.orbital_irreps)
+        for i, (_, li) in enumerate(slots):
+            for j, (_, lj) in enumerate(slots):
+                for L in range(abs(li.l - lj.l), li.l + lj.l + 1):
+                    self.paths.append((i, j, li.l, lj.l, L, comp))
+                    comp += 2 * L + 1
+        assert comp == self.D
+        self.n_slots = len(slots)
+        self.lmax = 2 * max(ir.l for _, ir in slots)
+        rng = np.random.RandomState(seed)
+
+        def draw(scale_A):
+            P = len(self.paths)
+            A = scale_A * rng.randn(P)
+            rho = rng.uniform(1.8, 2.6, P)
+            kappa = 0.08 * scale_A / amp * rng.randn(P)
+            omega, species = {}, {}
+            for z in zs:
+                om = np.zeros(P)
+                for p, (i, j, l1, l2, L, _) in enumerate(self.paths):
+                    if L == 0:
+                        # shell energies (i == j) and weaker inter-shell mixing
+                        om[p] = rng.uniform(-1.0, 0.6) if i == j \
+                            else 0.2 * rng.randn()
+                omega[z] = om * (scale_A / amp)
+                species[z] = rng.uniform(0.7, 1.3, self.n_slots)
+            return SKParams(A, rho, kappa, omega, species)
+
+        # H = H0 + dH: independent parameter draws; S has its own channel.
+        self.h0 = draw(amp)
+        self.dh = draw(0.15 * amp)
+        self.s = draw(s_amp)
+        for z in zs:                     # overlap has no on-site static part
+            self.s.omega[z][:] = 0.0
+        self.s.kappa[:] = 0.0            # ... and no crystal field
+
+    # -- component builders ------------------------------------------------
+    def _ylm(self, vec: np.ndarray) -> np.ndarray:
+        ls = list(range(self.lmax + 1))
+        return np.asarray(spherical_harmonics(ls, vec, normalize=True))
+
+    def _pair_cutoff(self, zi, zj):
+        return np.array([PAO_RADIUS[int(a)] + PAO_RADIUS[int(b)]
+                         for a, b in zip(zi, zj)])
+
+    def _radial(self, prm: SKParams, r, zi, zj):
+        """(E, P) radial factors incl. species slots and smooth cutoff."""
+        rc = self._pair_cutoff(zi, zj)
+        fc = np.where(r < rc, 0.5 * (np.cos(np.pi * r / rc) + 1.0), 0.0)
+        out = np.zeros((r.shape[0], len(self.paths)))
+        for p, (i, j, l1, l2, L, _) in enumerate(self.paths):
+            sp_i = np.array([prm.species[int(z)][i] for z in zi])
+            sp_j = np.array([prm.species[int(z)][j] for z in zj])
+            out[:, p] = (prm.A[p] * sp_i * sp_j
+                         * np.exp((4.0 - r) / prm.rho[p]) * fc)
+        return out
+
+    def _assemble(self, comps: np.ndarray) -> np.ndarray:
+        """(N, D) components -> (N, nao, nao) dense DFT-ordered blocks."""
+        return (comps @ self.M).reshape(-1, self.nao, self.nao)
+
+    def offsite(self, prm: SKParams, vec, r, zi, zj) -> np.ndarray:
+        Y = self._ylm(vec)
+        rad = self._radial(prm, r, zi, zj)
+        comps = np.zeros((r.shape[0], self.D))
+        for p, (_, _, _, _, L, ofs) in enumerate(self.paths):
+            comps[:, ofs:ofs + 2 * L + 1] = rad[:, p:p + 1] * Y[:, L * L:(L + 1) * (L + 1)]
+        return self._assemble(comps)
+
+    def onsite(self, prm: SKParams, z, src, vec, r, zj) -> np.ndarray:
+        """Static shell terms + crystal field summed over neighbor edges."""
+        n = z.shape[0]
+        comps = np.zeros((n, self.D))
+        for p, (i, j, l1, l2, L, ofs) in enumerate(self.paths):
+            if L == 0:
+                comps[:, ofs] += np.array([prm.omega[int(zz)][p] for zz in z])
+        if np.any(prm.kappa != 0.0):
+            Y = self._ylm(vec)
+            rc = self._pair_cutoff(z[src], zj)
+            fc = np.where(r < rc, 0.5 * (np.cos(np.pi * r / rc) + 1.0), 0.0)
+            g = np.exp((4.0 - r) / 2.0) * fc
+            for p, (i, j, l1, l2, L, ofs) in enumerate(self.paths):
+                contrib = (prm.kappa[p] * g)[:, None] * Y[:, L * L:(L + 1) * (L + 1)]
+                for m in range(2 * L + 1):
+                    comps[:, ofs + m] += np.bincount(src, contrib[:, m], minlength=n)
+        return self._assemble(comps)
+
+    # -- full crystal ------------------------------------------------------
+    def build(self, z, pos, cell):
+        """Teacher H0/H/S blocks for a crystal (positions/cell in Bohr).
+
+        Returns dict with edge tables and per-atom/per-edge valid-orbital
+        blocks ready for :func:`write_scfout`.
+        """
+        radii = np.array([PAO_RADIUS[int(v)] for v in z])
+        edge_index, cell_shift, nbr_shift = neighbor_list_pbc(pos, cell, radii)
+        inv = inverse_edge_index(edge_index, cell_shift)
+        src, dst = edge_index
+        vec = pos[dst] + nbr_shift - pos[src]
+        r = np.linalg.norm(vec, axis=1)
+
+        def channel(prm, with_onsite=True, identity_onsite=False):
+            off = self.offsite(prm, vec, r, z[src], z[dst])
+            off = 0.5 * (off + np.transpose(off[inv], (0, 2, 1)))
+            if identity_onsite:
+                on = np.broadcast_to(np.eye(self.nao), (z.shape[0], self.nao, self.nao)).copy()
+            else:
+                on = self.onsite(prm, z, src, vec, r, z[dst])
+                on = 0.5 * (on + np.transpose(on, (0, 2, 1)))
+            return on, off
+
+        H0on, H0off = channel(self.h0)
+        dHon, dHoff = channel(self.dh)
+        Son, Soff = channel(self.s, identity_onsite=True)
+        Hon, Hoff = H0on + dHon, H0off + dHoff
+
+        bd = self.basis.basis_def
+
+        def valid(blocks, zrow, zcol):
+            return [np.ascontiguousarray(
+                b[np.ix_(bd[int(zr)], bd[int(zc)])])
+                for b, zr, zc in zip(blocks, zrow, zcol)]
+
+        num_orbs = np.array([len(bd[int(v)]) for v in z])
+        nval = self.basis.num_valence_table
+        return {
+            "edge_src": src, "edge_dst": dst, "cell_shift": cell_shift,
+            "num_orbs": num_orbs,
+            "Hon": valid(Hon, z, z), "Hoff": valid(Hoff, z[src], z[dst]),
+            "H0on": valid(H0on, z, z), "H0off": valid(H0off, z[src], z[dst]),
+            "Son": valid(Son, z, z), "Soff": valid(Soff, z[src], z[dst]),
+            "valence": float(sum(nval[int(v)] for v in z)),
+        }
+
+
+def min_overlap_eig(data, z, kpts=8, seed=0) -> float:
+    """Smallest eigenvalue of S(k) over random k (positive-definiteness check)."""
+    rng = np.random.RandomState(seed)
+    norbs = data["num_orbs"]
+    offs = np.concatenate([[0], np.cumsum(norbs)])
+    ntot = int(offs[-1])
+    src, dst, shift = data["edge_src"], data["edge_dst"], data["cell_shift"]
+    lo = np.inf
+    for k in rng.rand(kpts, 3):
+        S = np.zeros((ntot, ntot), complex)
+        for a in range(len(norbs)):
+            S[offs[a]:offs[a + 1], offs[a]:offs[a + 1]] += data["Son"][a]
+        for e in range(src.shape[0]):
+            ph = np.exp(2j * np.pi * np.dot(k, shift[e]))
+            S[offs[src[e]]:offs[src[e] + 1], offs[dst[e]]:offs[dst[e] + 1]] += \
+                ph * data["Soff"][e]
+        lo = min(lo, float(np.linalg.eigvalsh(0.5 * (S + S.conj().T)).min()))
+    return lo
+
+
+_Z_SYMBOL = {14: "Si", 6: "C"}
+
+
+def write_structure_dir(d: str, teacher: SKTeacher, z, pos, cell) -> None:
+    """Write openmx.dat / openmx.scfout / overlap.scfout (H0) for a crystal."""
+    os.makedirs(d, exist_ok=True)
+    data = teacher.build(z, pos, cell)
+    common = dict(
+        cell=cell, pos=pos, num_orbs=data["num_orbs"],
+        edge_src=data["edge_src"], edge_dst=data["edge_dst"],
+        cell_shift=data["cell_shift"],
+        Son=data["Son"], Soff=data["Soff"],
+        valence_electrons=data["valence"],
+    )
+    write_scfout(os.path.join(d, "openmx.scfout"),
+                 Hon=[data["Hon"]], Hoff=[data["Hoff"]], **common)
+    write_scfout(os.path.join(d, "overlap.scfout"),
+                 Hon=[data["H0on"]], Hoff=[data["H0off"]], **common)
+    cell_ang, pos_ang = cell * AU2ANG, pos * AU2ANG
+    lines = ["<Atoms.UnitVectors"]
+    for row in cell_ang:
+        lines.append("  " + "  ".join(f"{v:.10f}" for v in row))
+    lines.append("Atoms.UnitVectors>")
+    lines.append("<Atoms.SpeciesAndCoordinates")
+    for i, (zz, p) in enumerate(zip(z, pos_ang)):
+        lines.append(f"  {i + 1}  {_Z_SYMBOL[int(zz)]}  "
+                     + "  ".join(f"{v:.10f}" for v in p) + "  2.0  2.0")
+    lines.append("Atoms.SpeciesAndCoordinates>")
+    with open(os.path.join(d, "openmx.dat"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def rattled(rng, proto, max_strain=0.03, max_sigma=0.10):
+    cell0, pos0, z = proto
+    eps = max_strain * rng.uniform(-1, 1, (3, 3))
+    F = np.eye(3) + 0.5 * (eps + eps.T)
+    cell = cell0 @ F
+    frac = pos0 @ np.linalg.inv(cell0)
+    sigma = rng.uniform(0.02, max_sigma) / AU2ANG  # Angstrom -> Bohr
+    pos = frac @ cell + sigma * rng.randn(*pos0.shape)
+    return cell, pos, z
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="Slater-Koster synthetic dataset")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--n-si", type=int, default=150)
+    ap.add_argument("--n-c", type=int, default=150)
+    ap.add_argument("--n-sic", type=int, default=100)
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--nao-max", type=int, default=14)
+    ap.add_argument("--band-set", action="store_true",
+                    help="also write pristine (unrattled) prediction structures")
+    args = ap.parse_args(argv)
+
+    teacher = SKTeacher(nao_max=args.nao_max, seed=args.seed)
+    protos = {
+        "si": _fcc_primitive(A_SI, 14, 14),
+        "c": _fcc_primitive(A_C, 6, 6),
+        "sic": _fcc_primitive(A_SIC, 14, 6),
+    }
+    # overlap positive-definiteness sanity on the pristine prototypes
+    for name, (cell, pos, z) in protos.items():
+        lo = min_overlap_eig(teacher.build(z, pos, cell), z)
+        print(f"{name}: min eig S(k) = {lo:.4f}")
+        assert lo > 0.05, f"overlap not safely positive definite for {name}"
+
+    rng = np.random.RandomState(args.seed + 1)
+    idx = 0
+    for name, count in (("si", args.n_si), ("c", args.n_c), ("sic", args.n_sic)):
+        for _ in range(count):
+            cell, pos, z = rattled(rng, protos[name])
+            write_structure_dir(
+                os.path.join(args.out, f"struct_{idx:04d}"), teacher, z, pos, cell)
+            idx += 1
+    print(f"wrote {idx} structures under {args.out}")
+
+    if args.band_set:
+        for name, proto in protos.items():
+            cell, pos, z = proto
+            write_structure_dir(
+                os.path.join(args.out + "_band", f"pristine_{name}"),
+                teacher, z, pos, cell)
+        print(f"wrote pristine band-test structures under {args.out}_band")
+
+
+if __name__ == "__main__":
+    main()
