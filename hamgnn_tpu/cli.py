@@ -97,6 +97,13 @@ def _band_control_kwargs(out) -> dict:
         "dynamic shapes; use an int window or a per-species dict")
 
 
+def _freeze_k_path(spec):
+    """YAML k_path -> hashable module attribute ('auto' | node tuple | None)."""
+    if spec is None or isinstance(spec, str):
+        return spec
+    return tuple(tuple(float(v) for v in node) for node in spec)
+
+
 def _attach_head(config, rep) -> HamGNNModel:
     pre = config.representation_nets.HamGNN_pre
     out = config.output_nets.HamGNN_out
@@ -133,6 +140,12 @@ def _attach_head(config, rep) -> HamGNNModel:
             symmetrize=out.symmetrize,
             zero_point_shift=out.get("zero_point_shift", True),
             nonlinearity_type=out.get("nonlinearity_type", "gate"),
+            calculate_band_energy=out.get("calculate_band_energy", False),
+            num_k=out.get("num_k", 5),
+            band_num_control=(out.get("band_num_control", 8)
+                              if isinstance(out.get("band_num_control", 8), int)
+                              else 8),
+            k_path=_freeze_k_path(out.get("k_path", None)),
         )
     else:
         head = HamGNNPlusPlusOut(
@@ -147,6 +160,7 @@ def _attach_head(config, rep) -> HamGNNModel:
             nonlinearity_type=out.get("nonlinearity_type", "gate"),
             calculate_band_energy=out.get("calculate_band_energy", False),
             num_k=out.get("num_k", 5),
+            k_path=_freeze_k_path(out.get("k_path", None)),
             **_band_control_kwargs(out),
         )
     return HamGNNModel(representation=rep, output=head)

@@ -145,13 +145,16 @@ class TensorProductPlan:
                 else:
                     out = jnp.einsum("...uvk,...uvw->...wk", tmp, w)
             elif ins.mode == "uvu":
-                tmp = jnp.einsum("...ui,...vj,ijk->...uvk", x1c, x2c, cg)
+                # contract the v-sum into x2 first: sum_v w_uv (x1_u (x) x2_v)
+                # == x1_u (x) (sum_v w_uv x2_v) — avoids the (..., u, v, k)
+                # intermediate (O(E u v k) memory at full multiplicity)
                 if w is None:
-                    out = jnp.sum(tmp, axis=-2)
+                    x2w = jnp.sum(x2c, axis=-2)[..., None, :]
                 elif shared_weights:
-                    out = jnp.einsum("...uvk,uv->...uk", tmp, w)
+                    x2w = jnp.einsum("...vj,uv->...uj", x2c, w)
                 else:
-                    out = jnp.einsum("...uvk,...uv->...uk", tmp, w)
+                    x2w = jnp.einsum("...vj,...uv->...uj", x2c, w)
+                out = jnp.einsum("...ui,...uj,ijk->...uk", x1c, x2w, cg)
             else:
                 raise NotImplementedError(ins.mode)
 

@@ -15,7 +15,7 @@ masked vector ops on the padded graph.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -120,6 +120,10 @@ class HamGNNPlusPlusOut(fnn.Module):
     nonlinearity_type: str = "gate"
     calculate_band_energy: bool = False
     num_k: int = 5
+    # None -> random k (reference fallback), 'auto' -> Setyawan-Curtarolo
+    # high-symmetry path from the lattice (KPathSeek equivalent,
+    # hamgnn_output.py:3672-3726), tuple of reduced nodes -> user path
+    k_path: Optional[Any] = None
     band_num_control: int = 8
     # dict-valued band_num_control (reference hamgnn_output.py:1736-1742,
     # 1939-1942): per-species counts as a hashable ((z, count), ...) tuple.

@@ -138,6 +138,12 @@ class HamGNNSOCOut(fnn.Module):
     symmetrize: bool = True
     zero_point_shift: bool = False
     nonlinearity_type: str = "gate"
+    # SOC secondary training: spinor 2*nao complex generalized band solve
+    # (reference hamgnn_output.py:1998-2287); k_vecs supplied by the trainer
+    calculate_band_energy: bool = False
+    num_k: int = 5
+    band_num_control: int = 8
+    k_path: Optional[object] = None
 
     @fnn.compact
     def __call__(self, graph: Graph, representation: Dict[str, jnp.ndarray],
@@ -351,6 +357,32 @@ class HamGNNSOCOut(fnn.Module):
             n_orb[graph.z[src]] * n_orb[graph.z[dst]] * graph.edge_mask)
         total = (jnp.sum(graph.node_mask) + jnp.sum(graph.edge_mask)) * float(nao * nao)
         result["sparsity_ratio"] = total / jnp.maximum(eff, 1.0)
+
+        # --- spinor band energies (SOC secondary training) ----------------
+        if self.calculate_band_energy and k_vecs is not None \
+                and graph.Son is not None:
+            from ..physics.band import band_energies_soc_batched
+
+            band, wfn, gap = band_energies_soc_batched(
+                graph, result["hamiltonian_real_on"],
+                result["hamiltonian_imag_on"],
+                result["hamiltonian_real_off"],
+                result["hamiltonian_imag_off"],
+                graph.Son, graph.Soff, k_vecs, basis,
+                num_bands=self.band_num_control)
+            result["band_energy"] = band
+            result["wavefunction"] = wfn
+            result["band_gap"] = gap
+            if graph.Hon is not None and graph.iHon is not None:
+                sg = jax.lax.stop_gradient
+                ref_band, _, ref_gap = band_energies_soc_batched(
+                    graph, sg(graph.Hon), sg(graph.iHon), sg(graph.Hoff),
+                    sg(graph.iHoff), graph.Son, graph.Soff, k_vecs, basis,
+                    num_bands=self.band_num_control)
+                result["band_energy_ref"] = ref_band
+                result["band_gap_ref"] = ref_gap
+                if self.zero_point_shift:
+                    result["band_energy"] = band - jnp.mean(band - ref_band)
         return result
 
 

@@ -281,14 +281,24 @@ class PairInteractionEmbeddingBlock(fnn.Module):
 
     @fnn.compact
     def __call__(self, node_feats, edge_sh, edge_scalars, edge_index):
+        """``node_feats`` is (N, D) with ``edge_index`` for the dense path, or
+        a pre-gathered ``(src_rows, dst_rows)`` pair of (E, D) arrays with
+        ``edge_index=None`` (halo edge partition: the lift linears commute
+        with the gather, so parameters and math are identical)."""
         irreps_node = Irreps(self.irreps_node_feats)
         irreps_out = Irreps(self.irreps_edge_feats)
         irreps_sh = Irreps(self.irreps_edge_attrs)
-        src, dst = edge_index[0], edge_index[1]
 
-        up_src = Linear(irreps_node, irreps_node, name="linear_up_src")(node_feats)
-        up_dst = Linear(irreps_node, irreps_node, name="linear_up_dst")(node_feats)
-        x = up_src[src] + up_dst[dst]
+        lin_src = Linear(irreps_node, irreps_node, name="linear_up_src")
+        lin_dst = Linear(irreps_node, irreps_node, name="linear_up_dst")
+        if edge_index is None:
+            src_rows, dst_rows = node_feats
+            x = lin_src(src_rows) + lin_dst(dst_rows)
+        else:
+            src, dst = edge_index[0], edge_index[1]
+            up_src = lin_src(node_feats)
+            up_dst = lin_dst(node_feats)
+            x = up_src[src] + up_dst[dst]
 
         mid = SHTensorProductExpansion.mid_irreps(irreps_node, irreps_sh, irreps_out)
         scaler = ElementwiseChannelScale(
@@ -342,9 +352,11 @@ class CorrProductBlock(fnn.Module):
 
 
 class NodePairTensorProduct(fnn.Module):
-    """Unweighted channel-preserving CG expansion of node (x) node features
-    (the uvu node-node pathway of the reference's MessagePackBlockV2,
-    message_passing.py:234-418) followed by channel scaling + linear."""
+    """Exact uvu node (x) node pathway of the reference's MessagePackBlockV2
+    (message_passing.py:289-311, 330-339, 404-408): an internally-weighted
+    ``uvu`` tensor product of dst (x) src node features at full multiplicity,
+    followed by per-edge radial channel scaling (LinearScaleWithWeights) and
+    an equivariant Linear."""
 
     irreps_node_feats: Irreps
     irreps_out: Irreps
@@ -354,28 +366,22 @@ class NodePairTensorProduct(fnn.Module):
 
     @fnn.compact
     def __call__(self, feats_dst, feats_src, edge_scalars):
+        from ..e3.tensor_product import TensorProduct, tp_out_irreps_with_instructions
+
         irreps = Irreps(self.irreps_node_feats)
         irreps_out = Irreps(self.irreps_out)
-        # reuse the fused SH-TP machinery with the *second feature set* playing
-        # the SH role per chunk: contract each (mul, l2) chunk of src features
-        # channel-summed into a mul=1 "environment" vector first (cheap and
-        # equivariant), then expand dst features against it.
-        env_chunks = []
-        for sl, (mul, ir) in zip(irreps.slices(), irreps):
-            c = feats_src[..., sl].reshape(feats_src.shape[:-1] + (mul, ir.dim))
-            env_chunks.append(jnp.mean(c, axis=-2))
-        env = jnp.concatenate(env_chunks, axis=-1)
-        env_irreps = Irreps([(1, ir) for _, ir in irreps])
-
-        mid = SHTensorProductExpansion.mid_irreps(irreps, env_irreps, irreps_out)
+        mid, instructions = tp_out_irreps_with_instructions(
+            irreps, irreps, irreps_out, mode="uvu")
+        up = TensorProduct(
+            irreps_in1=irreps, irreps_in2=irreps, irreps_out=mid,
+            instructions=tuple(instructions), name="tp",
+        )(feats_dst, feats_src)
         scaler = ElementwiseChannelScale(
             irreps_in=mid.simplify(), irreps_out=irreps_out, name="scaler")
-        plan = scaler.packed_plan(irreps, env_irreps)
         w = make_weight_generator(
             self.num_edge_scalars, self.radial_mlp, scaler.weight_numel,
-            self.use_kan, out_perm=plan.scale_perm)(edge_scalars)
-        out = scaler.packed_tp_call(irreps, env_irreps, feats_dst, env, w,
-                                    weight_packed=True)
+            self.use_kan)(edge_scalars)
+        out = scaler(up, w)
         return Linear(irreps_out, irreps_out, name="out")(out)
 
 

@@ -71,6 +71,12 @@ class EdgePartitionPlan:
     dst_local: np.ndarray    # (S, E_loc) int32 — local (owned) dst row
     edge_mask: np.ndarray    # (S, E_loc) bool
     send_idx: np.ndarray     # (S, S, H) int32 — owned-local rows to send to each peer
+    # inverse-edge exchange (full-model halo: Hermitian symmetrization pairs
+    # each off-site block with its inverse edge's block, which lives on the
+    # shard owning src).  Built when make_plan is given inv_edge_idx.
+    edge_halo_bucket: int = 0
+    inv_pos: Optional[np.ndarray] = None        # (S, E_loc) int32 into edge table
+    edge_send_idx: Optional[np.ndarray] = None  # (S, S, HE) int32 local edge rows
 
     @property
     def table_size(self) -> int:
@@ -78,8 +84,16 @@ class EdgePartitionPlan:
 
 
 def make_plan(edge_index: np.ndarray, edge_mask: np.ndarray, n_nodes: int,
-              n_shards: int, edge_quantum: int = 64) -> EdgePartitionPlan:
-    """Partition edges by destination owner and build the halo exchange plan."""
+              n_shards: int, edge_quantum: int = 64,
+              inv_edge_idx: Optional[np.ndarray] = None,
+              force_edge_loc: Optional[int] = None,
+              force_halo: Optional[int] = None,
+              force_edge_halo: Optional[int] = None) -> EdgePartitionPlan:
+    """Partition edges by destination owner and build the halo exchange plan.
+
+    ``force_*`` pin the padded local-edge / halo / edge-halo bucket sizes so
+    plans for different graphs can be stacked along a data axis (all table
+    positions are bucket-size dependent)."""
     edge_index = np.asarray(edge_index)
     edge_mask = np.asarray(edge_mask).astype(bool)
     assert n_nodes % n_shards == 0, (n_nodes, n_shards)
@@ -93,6 +107,9 @@ def make_plan(edge_index: np.ndarray, edge_mask: np.ndarray, n_nodes: int,
         per_shard_edges.append(ids)
     e_loc = _round_up(max((len(i) for i in per_shard_edges), default=1),
                       edge_quantum)
+    if force_edge_loc is not None:
+        assert force_edge_loc >= e_loc, (force_edge_loc, e_loc)
+        e_loc = force_edge_loc
 
     # request lists: for each shard s and peer p != s, unique src rows owned
     # by p that s's edges reference (sorted for determinism)
@@ -108,6 +125,9 @@ def make_plan(edge_index: np.ndarray, edge_mask: np.ndarray, n_nodes: int,
     halo = max((len(requests[s][p]) for s in range(n_shards)
                 for p in range(n_shards)), default=0)
     halo = _round_up(max(halo, 1), 8)
+    if force_halo is not None:
+        assert force_halo >= halo, (force_halo, halo)
+        halo = force_halo
 
     edge_id = np.zeros((n_shards, e_loc), np.int32)
     src_pos = np.zeros((n_shards, e_loc), np.int32)
@@ -139,10 +159,58 @@ def make_plan(edge_index: np.ndarray, edge_mask: np.ndarray, n_nodes: int,
             req = requests[p][s]     # rows p wants from s
             send_idx[s, p, : len(req)] = req - s * n_loc
 
+    edge_halo = 0
+    inv_pos = None
+    edge_send_idx = None
+    if inv_edge_idx is not None:
+        inv_edge_idx = np.asarray(inv_edge_idx)
+        # local row of each global edge on its owner shard
+        local_row = np.zeros(edge_index.shape[1], np.int64)
+        owner_of_edge = np.zeros(edge_index.shape[1], np.int64)
+        for s in range(n_shards):
+            es = per_shard_edges[s]
+            local_row[es] = np.arange(len(es))
+            owner_of_edge[es] = s
+        # per-shard requests of remote inverse-edge rows (by sender peer)
+        ereq = [[np.zeros(0, np.int64)] * n_shards for _ in range(n_shards)]
+        for s in range(n_shards):
+            es = per_shard_edges[s]
+            iv = inv_edge_idx[es]
+            iv_owner = owner_of_edge[iv]
+            for p in range(n_shards):
+                if p == s:
+                    continue
+                ereq[s][p] = np.unique(iv[iv_owner == p])
+        edge_halo = _round_up(max((len(ereq[s][p]) for s in range(n_shards)
+                                   for p in range(n_shards)), default=1), 8)
+        if force_edge_halo is not None:
+            assert force_edge_halo >= edge_halo, (force_edge_halo, edge_halo)
+            edge_halo = force_edge_halo
+        inv_pos = np.zeros((n_shards, e_loc), np.int32)
+        edge_send_idx = np.zeros((n_shards, n_shards, edge_halo), np.int32)
+        for s in range(n_shards):
+            es = per_shard_edges[s]
+            pos_of = {}
+            for p in range(n_shards):
+                for r, g in enumerate(ereq[s][p]):
+                    pos_of[int(g)] = e_loc + p * edge_halo + r
+            iv = inv_edge_idx[es]
+            iv_owner = owner_of_edge[iv]
+            for k in range(len(es)):
+                g = int(iv[k])
+                inv_pos[s, k] = (local_row[g] if iv_owner[k] == s
+                                 else pos_of[g])
+        for s in range(n_shards):
+            for p in range(n_shards):
+                req = ereq[p][s]
+                edge_send_idx[s, p, : len(req)] = local_row[req]
+
     return EdgePartitionPlan(
         n_shards=n_shards, n_nodes_local=n_loc, halo_bucket=halo,
         edge_id=edge_id, src_pos=src_pos, dst_local=dst_local,
         edge_mask=mask_out, send_idx=send_idx,
+        edge_halo_bucket=edge_halo, inv_pos=inv_pos,
+        edge_send_idx=edge_send_idx,
     )
 
 

@@ -42,7 +42,10 @@ def assemble_k_matrices(
     B = graph.num_graphs
     nk = k_vecs.shape[1]
     M = max_atoms
-    dtype_c = jnp.complex64 if h_on.dtype == jnp.float32 else jnp.complex128
+    if jnp.iscomplexobj(h_on):
+        dtype_c = h_on.dtype
+    else:
+        dtype_c = jnp.complex64 if h_on.dtype == jnp.float32 else jnp.complex128
 
     node_offset = jnp.cumsum(graph.node_counts) - graph.node_counts
     local = (jnp.arange(graph.num_nodes, dtype=jnp.int32) - node_offset[graph.batch])
@@ -200,4 +203,111 @@ def band_energies_batched(
             extras.append(jnp.stack(dsk, axis=-1))
     if extras:
         return (band, wfn, gap, *extras)
+    return band, wfn, gap
+
+
+def _generalized_eigh(HK: jnp.ndarray, SK: jnp.ndarray):
+    """Cholesky-reduced generalized eigensolve; returns (eigvals, psi)."""
+    L = jnp.linalg.cholesky(SK)
+    Hh = jax.scipy.linalg.solve_triangular(L, HK, lower=True)
+    A = jnp.swapaxes(
+        jax.scipy.linalg.solve_triangular(
+            L, jnp.swapaxes(Hh, -1, -2).conj(), lower=True
+        ), -1, -2
+    ).conj()
+    A = 0.5 * (A + jnp.swapaxes(A, -1, -2).conj())
+    eigvals, eigvecs = jnp.linalg.eigh(A)
+    psi = jax.scipy.linalg.solve_triangular(
+        jnp.swapaxes(L, -1, -2).conj(), eigvecs, lower=False)
+    return eigvals, psi
+
+
+def band_energies_soc_batched(
+    graph: Graph,
+    h_on_real: jnp.ndarray,    # (N, (2 nao)^2)
+    h_on_imag: jnp.ndarray,
+    h_off_real: jnp.ndarray,   # (E, (2 nao)^2)
+    h_off_imag: jnp.ndarray,
+    s_on: jnp.ndarray,         # (N, nao^2) real overlap (spin-independent)
+    s_off: jnp.ndarray,
+    k_vecs: jnp.ndarray,       # (B, nk, 3) Cartesian
+    basis: BasisSetInfo,
+    num_bands: int = 8,
+    max_atoms: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Spinor (2 nao) complex generalized band solve for SOC training.
+
+    The training-path counterpart of the reference's SOC band branch
+    (/root/reference/hamgnn/models/hamgnn_output.py:1998-2287): per-atom
+    (2 nao, 2 nao) complex blocks (real ‖ imag rows, the SOC head layout)
+    assemble into H(k); S(k) is the spatial overlap on each spin diagonal.
+    Spinor states are singly occupied, so the filling index equals the
+    valence electron count (not half of it).
+
+    Returns (band_energy (B, nk, 2*num_bands), wavefunction, band_gap (B,)).
+    """
+    nao = basis.nao_max
+    nao2 = 2 * nao
+    M = int(max_atoms) if max_atoms is not None else int(graph.num_nodes)
+    B = graph.num_graphs
+
+    h_on = (h_on_real + 1j * h_on_imag).astype(jnp.complex64)
+    h_off = (h_off_real + 1j * h_off_imag).astype(jnp.complex64)
+
+    def expand_s(rows):
+        sb = rows.reshape(-1, nao, nao)
+        n = sb.shape[0]
+        out = jnp.zeros((n, nao2, nao2), rows.dtype)
+        out = out.at[:, :nao, :nao].set(sb)
+        out = out.at[:, nao:, nao:].set(sb)
+        return out.reshape(n, nao2 * nao2)
+
+    HK = assemble_k_matrices(graph, h_on, h_off, k_vecs, nao2, M)
+    SK = assemble_k_matrices(graph, expand_s(s_on), expand_s(s_off),
+                             k_vecs, nao2, M)
+
+    dtype = h_on_real.dtype
+    mask_table = jnp.asarray(basis.orbital_mask_table, dtype)
+    node_orb = mask_table[graph.z] * graph.node_mask[:, None]
+    node_orb2 = jnp.concatenate([node_orb, node_orb], axis=1)     # (N, 2nao)
+    node_offset = jnp.cumsum(graph.node_counts) - graph.node_counts
+    local = jnp.clip(
+        jnp.arange(graph.num_nodes, dtype=jnp.int32)
+        - node_offset[graph.batch], 0, M - 1)
+    orb_valid = jnp.zeros((B, M, nao2), dtype)
+    orb_valid = orb_valid.at[graph.batch, local].max(node_orb2)
+    orb_valid = orb_valid.reshape(B, M * nao2)
+
+    pair_valid = orb_valid[:, :, None] * orb_valid[:, None, :]
+    HK = HK * pair_valid[:, None]
+    SK = SK * pair_valid[:, None]
+    diag_pad = (1.0 - orb_valid)[:, None, :]
+    idx = jnp.arange(M * nao2)
+    SK = SK.at[:, :, idx, idx].add(diag_pad.astype(SK.dtype))
+    HK = HK.at[:, :, idx, idx].add((_PAD_ENERGY * diag_pad).astype(HK.dtype))
+
+    eigvals, psi = _generalized_eigh(HK, SK)
+
+    valence_table = jnp.asarray(basis.num_valence_table, dtype)
+    val_per_node = valence_table[graph.z] * graph.node_mask
+    crystal_valence = jax.ops.segment_sum(val_per_node, graph.batch,
+                                          num_segments=B)
+    # spinor: every state singly occupied
+    occ = jnp.round(crystal_valence).astype(jnp.int32)
+
+    gap = (
+        jnp.min(jnp.take_along_axis(eigvals, occ[:, None, None], axis=2), axis=1)
+        - jnp.max(jnp.take_along_axis(eigvals, occ[:, None, None] - 1, axis=2), axis=1)
+    )[:, 0]
+
+    w = int(num_bands)
+    start = jnp.clip(occ - w, 0, M * nao2 - 2 * w)
+
+    def take_window(e_b, v_b, s_b):
+        e_w = jax.lax.dynamic_slice_in_dim(e_b, s_b, 2 * w, axis=1)
+        v_w = jax.lax.dynamic_slice_in_dim(v_b, s_b, 2 * w, axis=2)
+        return e_w, v_w
+
+    band, wfn = jax.vmap(take_window)(eigvals, psi, start)
+    wfn = jnp.swapaxes(wfn, -1, -2)
     return band, wfn, gap

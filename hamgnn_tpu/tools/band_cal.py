@@ -30,14 +30,12 @@ HARTREE2EV = 27.211324570273
 
 
 def _auto_k_path(cell: np.ndarray) -> Tuple[List[List[float]], List[str]]:
-    """Heuristic high-symmetry path from lattice shape (no spglib available):
-    orthorhombic-like axes path Gamma-X-M-Gamma-Z|R; falls back gracefully for
-    arbitrary cells (the path is well-defined for any lattice even if labels
-    are only approximate)."""
-    return (
-        [[0, 0, 0], [0.5, 0, 0], [0.5, 0.5, 0], [0, 0, 0], [0, 0, 0.5]],
-        ["$\\Gamma$", "X", "M", "$\\Gamma$", "Z"],
-    )
+    """High-symmetry path from metric-based Bravais classification
+    (physics.kpoints.auto_k_path): Setyawan-Curtarolo standard paths, the
+    KPathSeek-equivalent of the reference's auto mode."""
+    from ..physics.kpoints import auto_k_path
+
+    return auto_k_path(np.asarray(cell, float).reshape(3, 3))
 
 
 def assemble_k_matrices_numpy(rows: np.ndarray, n_atoms: int, edge_index: np.ndarray,

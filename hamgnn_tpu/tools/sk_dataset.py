@@ -67,7 +67,7 @@ class SKTeacher:
     """Generalized Slater-Koster two-center model over the basis irreps."""
 
     def __init__(self, ham_type: str = "openmx", nao_max: int = 14,
-                 seed: int = 0, amp: float = 0.6, s_amp: float = 0.10,
+                 seed: int = 0, amp: float = 0.6, s_amp: float = 0.08,
                  zs: Tuple[int, ...] = (14, 6)):
         self.basis = get_basis_set(ham_type, nao_max)
         self.nao = nao_max
@@ -111,6 +111,10 @@ class SKTeacher:
         for z in zs:                     # overlap has no on-site static part
             self.s.omega[z][:] = 0.0
         self.s.kappa[:] = 0.0            # ... and no crystal field
+        # steeper overlap decay keeps S(k) safely positive definite even for
+        # the short C-C bonds (many neighbors inside the pair cutoff)
+        self.s.rho = np.random.RandomState(seed + 101).uniform(
+            1.1, 1.4, len(self.paths))
 
     # -- component builders ------------------------------------------------
     def _ylm(self, vec: np.ndarray) -> np.ndarray:
@@ -126,11 +130,12 @@ class SKTeacher:
         rc = self._pair_cutoff(zi, zj)
         fc = np.where(r < rc, 0.5 * (np.cos(np.pi * r / rc) + 1.0), 0.0)
         out = np.zeros((r.shape[0], len(self.paths)))
+        r0 = 0.45 * rc  # species-pair reference distance ~ 1NN bond length
         for p, (i, j, l1, l2, L, _) in enumerate(self.paths):
             sp_i = np.array([prm.species[int(z)][i] for z in zi])
             sp_j = np.array([prm.species[int(z)][j] for z in zj])
             out[:, p] = (prm.A[p] * sp_i * sp_j
-                         * np.exp((4.0 - r) / prm.rho[p]) * fc)
+                         * np.exp((r0 - r) / prm.rho[p]) * fc)
         return out
 
     def _assemble(self, comps: np.ndarray) -> np.ndarray:
@@ -156,7 +161,7 @@ class SKTeacher:
             Y = self._ylm(vec)
             rc = self._pair_cutoff(z[src], zj)
             fc = np.where(r < rc, 0.5 * (np.cos(np.pi * r / rc) + 1.0), 0.0)
-            g = np.exp((4.0 - r) / 2.0) * fc
+            g = np.exp((0.45 * rc - r) / 2.0) * fc
             for p, (i, j, l1, l2, L, ofs) in enumerate(self.paths):
                 contrib = (prm.kappa[p] * g)[:, None] * Y[:, L * L:(L + 1) * (L + 1)]
                 for m in range(2 * L + 1):
@@ -250,7 +255,9 @@ def write_structure_dir(d: str, teacher: SKTeacher, z, pos, cell) -> None:
     write_scfout(os.path.join(d, "overlap.scfout"),
                  Hon=[data["H0on"]], Hoff=[data["H0off"]], **common)
     cell_ang, pos_ang = cell * AU2ANG, pos * AU2ANG
-    lines = ["<Atoms.UnitVectors"]
+    # trailing comment required: the graph_data_gen lattice regex (same as the
+    # reference's pattern_latt, utils.py:768) needs >=1 char after the tag
+    lines = ["<Atoms.UnitVectors                     # unit=Ang."]
     for row in cell_ang:
         lines.append("  " + "  ".join(f"{v:.10f}" for v in row))
     lines.append("Atoms.UnitVectors>")
