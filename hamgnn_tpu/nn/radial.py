@@ -159,9 +159,9 @@ class GaussianRadialBasis(fnn.Module):
 
 
 RBF_REGISTRY = {
-    "bessel": lambda num, cutoff: BesselBasis(cutoff=cutoff, num_basis=num),
-    "gaussian": lambda num, cutoff: GaussianSmearing(start=0.0, stop=cutoff, num_gaussians=num),
-    "exp-gaussian": lambda num, cutoff: ExponentialGaussianRadialBasis(num_basis=num, cutoff=cutoff),
-    "exp-bernstein": lambda num, cutoff: ExponentialBernsteinRadialBasis(num_basis=num, cutoff=cutoff),
-    "bernstein": lambda num, cutoff: BernsteinRadialBasis(num_basis=num, cutoff=cutoff),
+    "bessel": lambda num, cutoff, **kw: BesselBasis(cutoff=cutoff, num_basis=num, **kw),
+    "gaussian": lambda num, cutoff, **kw: GaussianSmearing(start=0.0, stop=cutoff, num_gaussians=num, **kw),
+    "exp-gaussian": lambda num, cutoff, **kw: ExponentialGaussianRadialBasis(num_basis=num, cutoff=cutoff, **kw),
+    "exp-bernstein": lambda num, cutoff, **kw: ExponentialBernsteinRadialBasis(num_basis=num, cutoff=cutoff, **kw),
+    "bernstein": lambda num, cutoff, **kw: BernsteinRadialBasis(num_basis=num, cutoff=cutoff, **kw),
 }

@@ -28,15 +28,42 @@ from ..models.output import concatenate_by_crystal
 from ..train.config import load_config
 
 
+def _build_compat_model(config):
+    """Reference-parametrization model for packages converted from the
+    published predictor pickles (interfaces/uni_pickle.py): e3nn-compat
+    representation + the native Hamiltonian head."""
+    from ..interfaces.e3nn_compat import HamGNNConvE3Compat
+    from ..models.model import HamGNNModel
+    from ..models.output import HamGNNPlusPlusOut
+
+    pre = config.representation_nets.HamGNN_pre
+    out_cfg = config.output_nets.HamGNN_out
+    rep = HamGNNConvE3Compat(
+        num_types=pre.num_types, irreps_edge_sh=pre.irreps_edge_sh,
+        irreps_node_features=pre.irreps_node_features,
+        num_layers=pre.num_layers, num_radial=pre.num_radial,
+        rbf_func=pre.rbf_func.lower(), cutoff=pre.cutoff,
+        radial_mlp=tuple(pre.radial_MLP))
+    head = HamGNNPlusPlusOut(
+        irreps_in_node=pre.irreps_node_features,
+        irreps_in_edge=pre.irreps_node_features,
+        nao_max=out_cfg.nao_max, ham_type=out_cfg.ham_type.lower(),
+        ham_only=True, add_H0=out_cfg.add_H0,
+        zero_point_shift=out_cfg.get("zero_point_shift", True))
+    return HamGNNModel(representation=rep, output=head)
+
+
 class HamiltonianPredictor:
     """Bundles a non-SOC model and an optional SOC model (add_H_nonsoc)."""
 
     def __init__(self, config_nonsoc_path: str,
                  config_soc_path: Optional[str] = None,
-                 soc_switch: bool = False):
+                 soc_switch: bool = False, compat: bool = False):
         self.soc_enabled = soc_switch
+        self.compat = compat
         self.config_nonsoc = load_config(config_nonsoc_path)
-        self.model_nonsoc = build_model(self.config_nonsoc)
+        self.model_nonsoc = (_build_compat_model(self.config_nonsoc)
+                             if compat else build_model(self.config_nonsoc))
         self.params_nonsoc = None
         if soc_switch:
             self.config_soc = load_config(config_soc_path, overrides={
@@ -71,9 +98,10 @@ class HamiltonianPredictor:
         import orbax.checkpoint as ocp
 
         soc = os.path.exists(os.path.join(package_dir, "soc.yaml"))
+        compat = os.path.exists(os.path.join(package_dir, "compat.yaml"))
         pred = cls(os.path.join(package_dir, "nonsoc.yaml"),
                    os.path.join(package_dir, "soc.yaml") if soc else None,
-                   soc_switch=soc)
+                   soc_switch=soc, compat=compat)
         ckptr = ocp.StandardCheckpointer()
         pred.params_nonsoc = ckptr.restore(
             os.path.abspath(os.path.join(package_dir, "nonsoc_params")))
