@@ -37,9 +37,18 @@ def maybe_initialize_distributed(coordinator: Optional[str] = None,
     call multiple times and in single-process runs (no-op).
     """
     global _initialized
-    if _initialized or jax.process_count() > 1:
-        _initialized = True
+    if _initialized:
         return jax.process_count() > 1
+    # NOTE: do NOT touch jax.process_count()/jax.devices() before deciding —
+    # querying them initializes the runtime and jax.distributed.initialize
+    # then raises "must be called before any JAX computations" (caught by
+    # tests/test_parallel.py::test_multihost_two_process_cpu).
+    try:
+        if jax.distributed.is_initialized():
+            _initialized = True
+            return jax.process_count() > 1
+    except AttributeError:  # older jax without is_initialized
+        pass
 
     coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
     num = num_processes if num_processes is not None else int(
@@ -57,7 +66,8 @@ def maybe_initialize_distributed(coordinator: Optional[str] = None,
         jax.distributed.initialize()
         _initialized = True
         return jax.process_count() > 1
-    return False
+    _initialized = True  # single-process decided; runtime queries now safe
+    return jax.process_count() > 1
 
 
 def is_primary() -> bool:

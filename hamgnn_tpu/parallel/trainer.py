@@ -91,15 +91,18 @@ class ParallelTrainer(Trainer):
         return self._pev_cache[key]
 
     def train_epoch_crystals(self, crystals: List[Dict], rng=None) -> float:
-        tot, n = 0.0, 0
+        losses = []
         lr = jnp.asarray(self.sched.lr, jnp.float32)
         for stacked in self._iter_stacked(crystals, shuffle=True, rng=rng):
             step = self._get_pstep(stacked)
             self.params, self.opt_state, loss, _ = step(
                 self.params, self.opt_state, stacked, lr)
-            tot += float(loss)
-            n += 1
-        return tot / max(n, 1)
+            losses.append(loss)  # device scalar; one host sync per epoch
+        if not losses:
+            return 0.0
+        import numpy as np
+
+        return float(np.mean(jax.device_get(losses)))
 
     def eval_epoch_crystals(self, crystals: List[Dict]) -> float:
         tot, n = 0.0, 0

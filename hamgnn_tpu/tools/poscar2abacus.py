@@ -94,5 +94,16 @@ def main(argv=None):
     print("done")
 
 
+def main_siesta(argv=None):
+    """``poscar2siesta`` console entry (reference setup.py:26-32): the same
+    driver with the SIESTA FDF writer selected and its own default config."""
+    import sys
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not any(a.startswith("--config") for a in argv):
+        argv += ["--config", "poscar2siesta.yaml"]
+    return main(argv + ["--format", "siesta"])
+
+
 if __name__ == "__main__":
     main()

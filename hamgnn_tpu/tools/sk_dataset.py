@@ -87,11 +87,20 @@ class SKTeacher:
         self.lmax = 2 * max(ir.l for _, ir in slots)
         rng = np.random.RandomState(seed)
 
+        # A two-center term V(r)*Y_L(n) is O(3)-equivariant in the orbital
+        # channel (l1, l2, L) ONLY when l1+l2+L is even (Gaunt selection rule;
+        # the channel parity is (-1)^(l1+l2) while Y_L has parity (-1)^L).
+        # Real Slater-Koster blocks obey this; paths violating it would be
+        # provably unfittable by an equivariant model (measured as a hard
+        # ~7.6e-4 Ha MAE floor when they were included).
+        natural = np.array([(l1 + l2 + L) % 2 == 0
+                            for (_i, _j, l1, l2, L, _o) in self.paths])
+
         def draw(scale_A):
             P = len(self.paths)
-            A = scale_A * rng.randn(P)
+            A = scale_A * rng.randn(P) * natural
             rho = rng.uniform(1.8, 2.6, P)
-            kappa = 0.08 * scale_A / amp * rng.randn(P)
+            kappa = 0.08 * scale_A / amp * rng.randn(P) * natural
             omega, species = {}, {}
             for z in zs:
                 om = np.zeros(P)

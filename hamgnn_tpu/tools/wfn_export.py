@@ -6,11 +6,13 @@ Equivalent surface of the reference's wfn_plot tooling
 (export_reciprocal_values pipeline); ``cube`` renders |psi|^2 on a real-space
 grid.
 
-Note: the native wfn2cube evaluates exact PAO radial functions from OpenMX's
-DFT_DATA files.  Those data files are an external dependency here just as the
-DFT codes are; when absent, the cube writer uses normalized Gaussian-type
-orbitals with per-species basis radii — clearly an approximation for
-visualization, flagged in the cube header.
+When a ``dft_data_path`` (OpenMX ``DFT_DATA*`` directory) and per-species
+basis names are configured, the cube writer evaluates the EXACT PAO radial
+functions via the same Hermite-spline interpolation and OpenMX real-harmonic
+table as the native wfn2cube (interfaces/pao.py; wfn2cube.c PhiF/AngularF).
+Without the data files (an external dependency, like the DFT codes
+themselves) it falls back to normalized Gaussian-type orbitals with
+per-species basis radii — an approximation flagged in the cube header.
 """
 
 from __future__ import annotations
@@ -69,9 +71,35 @@ def write_cube(path: str, cell, pos, z, values, comment: str = "") -> None:
             f.write(" ".join(f"{v:13.5E}" for v in flat[i : i + 6]) + "\n")
 
 
+def _slot_table(basis):
+    """DFT-order (l, mul-within-l, m) per orbital slot.
+
+    OpenMX's native layout per atom is contiguous (l, mul) blocks, each
+    spanning 2l+1 m-components in the OpenMX real-harmonic order
+    (wfn2cube.c:917-940 orbital enumeration); ``basis.orbital_irreps``
+    lists the blocks in that order.
+    """
+    table = []
+    count_by_l: Dict[int, int] = {}
+    for _, ir in basis.orbital_irreps:
+        mul_idx = count_by_l.get(ir.l, 0)
+        count_by_l[ir.l] = mul_idx + 1
+        for m in range(ir.dim):
+            table.append((ir.l, mul_idx, m))
+    return table
+
+
 def density_on_grid(crystal: Dict, coeffs: np.ndarray, basis, nao: int,
-                    grid_shape=(24, 24, 24)) -> np.ndarray:
-    """|psi|^2 on a grid from orbital coefficients (approximate GTO basis)."""
+                    grid_shape=(24, 24, 24),
+                    pao_by_z: Optional[Dict[int, "object"]] = None
+                    ) -> np.ndarray:
+    """|psi|^2 on a grid from orbital coefficients.
+
+    With ``pao_by_z`` (Z -> interfaces.pao.PAOBasis) the EXACT OpenMX PAO
+    radials are used (wfn2cube.c eval_basis); otherwise a GTO approximation.
+    """
+    from ..interfaces.pao import angular_f, phi_f, xyz_to_spherical
+
     cell = np.asarray(crystal["cell"]).reshape(3, 3)
     pos = np.asarray(crystal["pos"])
     z = np.asarray(crystal["z"], int)
@@ -80,21 +108,21 @@ def density_on_grid(crystal: Dict, coeffs: np.ndarray, basis, nao: int,
         indexing="ij"), axis=-1)
     grid = fr @ cell
     radii = radii_for_z(z, "openmx")
-
-    # (l, m) per orbital slot in the internal ordering: contiguous blocks per
-    # basis irrep (visualization approximation; the exact PAO zeta structure
-    # needs DFT_DATA radial files)
-    lm = []
-    for _, ir in basis.orbital_irreps:
-        for m in range(ir.dim):
-            lm.append((ir.l, m))
+    lm = _slot_table(basis)
 
     psi = np.zeros(grid_shape, complex)
     ofs = 0
     for a, zi in enumerate(z):
+        pao = pao_by_z.get(int(zi)) if pao_by_z else None
+        d = grid - pos[a]
+        r, theta, phi = xyz_to_spherical(d)
         for oi in basis.basis_def[int(zi)]:
-            l, m = lm[oi % len(lm)]
-            val = _gaussian_orbital_grid(grid, pos[a], radii[a], l, m)
+            l, mul, m = lm[oi]
+            if pao is not None and l <= pao.lmax and mul < pao.mul:
+                val = (phi_f(r, pao.rwf[l][mul], pao.rv)
+                       * angular_f(l, m, theta, phi))
+            else:
+                val = _gaussian_orbital_grid(grid, pos[a], radii[a], l, m)
             psi = psi + coeffs[ofs] * val
             ofs += 1
     return np.abs(psi) ** 2
@@ -118,11 +146,31 @@ def main(argv=None):
     band_idx = cfg.get("band_index", 0)
     c = graphs[cfg.get("structure_index", 0)]
     coeffs = vecs[band_idx]
+
+    # exact PAO radials when DFT_DATA + basis names are configured
+    # (wfn2cube.c resolve_species); else GTO approximation
+    pao_by_z = None
+    data_path = cfg.get("dft_data_path")
+    basis_names = cfg.get("basis_names", {})  # e.g. {14: "Si7.0-s2p2d1"}
+    if data_path:
+        from ..interfaces.pao import find_pao_file, parse_pao
+
+        pao_by_z = {}
+        for zi in sorted(set(int(v) for v in np.asarray(c["z"]))):
+            name = basis_names.get(zi) or basis_names.get(str(zi))
+            p = find_pao_file(data_path, name) if name else None
+            if p is not None:
+                pao_by_z[zi] = parse_pao(p)
+        if not pao_by_z:
+            pao_by_z = None
+
     rho = density_on_grid(c, coeffs, basis, cfg["nao_max"],
-                          tuple(cfg.get("grid", (24, 24, 24))))
+                          tuple(cfg.get("grid", (24, 24, 24))),
+                          pao_by_z=pao_by_z)
     write_cube(os.path.join(save_dir, f"band_{band_idx}.cube"),
                np.asarray(c["cell"]).reshape(3, 3), np.asarray(c["pos"]),
-               np.asarray(c["z"], int), rho)
+               np.asarray(c["z"], int), rho,
+               comment=("exact-PAO basis" if pao_by_z else "approx-GTO basis"))
     print(f"wrote cube for band {band_idx}")
 
 

@@ -138,6 +138,9 @@ class Trainer:
         self.max_epochs = max_epochs
         self.train_dir = train_dir
         self.gradient_clip_val = gradient_clip_val
+        from ..utils.profiling import enable_persistent_compile_cache
+
+        enable_persistent_compile_cache()
         from ..parallel.multihost import is_primary
 
         # rank-zero gate (reference: trainer.is_global_zero, Model.py:109-111)
@@ -211,8 +214,20 @@ class Trainer:
                 # hundreds of per-leaf micro-kernels
                 gflat, _ = ravel_pytree(grads)
                 pflat, unravel = ravel_pytree(params)
+                # NaN/inf guard (SURVEY §5): a non-finite loss/grad step is
+                # dropped on-device (no host sync) — the optimizer state and
+                # params pass through unchanged and the event is logged.
+                ok = jnp.isfinite(total) & jnp.all(jnp.isfinite(gflat))
+                gflat = jnp.where(ok, gflat, jnp.zeros_like(gflat))
                 updates, opt_state2 = self.tx.update(gflat, opt_state, pflat)
-                params2 = unravel(pflat + updates * lr)
+                scale = jnp.where(ok, lr, 0.0)
+                params2 = unravel(pflat + updates * scale)
+                opt_state2 = jax.tree.map(
+                    lambda new, old: jnp.where(ok, new, old)
+                    if isinstance(new, jnp.ndarray) and new.shape == old.shape
+                    else new, opt_state2, opt_state)
+                logs = dict(logs)
+                logs["nonfinite_step"] = 1.0 - ok.astype(jnp.float32)
                 return params2, opt_state2, total, logs
 
             self._train_step_cache[key] = step
@@ -235,31 +250,39 @@ class Trainer:
     # --- loops ---------------------------------------------------------
 
     def train_epoch(self, batches: Iterable[Graph]) -> float:
-        tot, n = 0.0, 0
+        losses = []
         lr = jnp.asarray(self.sched.lr, jnp.float32)
         for g in batches:
             step = self._get_train_step(g)
             self.params, self.opt_state, loss, _ = step(
                 self.params, self.opt_state, g, lr, **self._band_kwargs(g))
-            tot += float(loss)
-            n += 1
-        return tot / max(n, 1)
+            # keep the device scalar — a float() here would force a host
+            # round-trip every step (VERDICT r1 weak #6); one sync per epoch
+            losses.append(loss)
+        if not losses:
+            return 0.0
+        return float(np.mean(jax.device_get(losses)))
 
     def eval_epoch(self, batches: Iterable[Graph], collect: bool = False):
-        tot, n = 0.0, 0
-        agg: Dict[str, float] = {}
+        n = 0
+        losses = []
+        aggs: List[Dict[str, Any]] = []
         preds_all = []
         for g in batches:
             step = self._get_eval_step(g)
             loss, logs, mets, preds = step(self.params, g, **self._band_kwargs(g))
-            tot += float(loss)
+            losses.append(loss)
+            aggs.append({**logs, **mets})  # device scalars; sync once below
             n += 1
-            for k, v in {**logs, **mets}.items():
-                agg[k] = agg.get(k, 0.0) + float(v)
             if collect:
                 preds_all.append((g, jax.tree.map(np.asarray, preds)))
+        losses, aggs = jax.device_get((losses, aggs))
+        agg: Dict[str, float] = {}
+        for d in aggs:
+            for k, v in d.items():
+                agg[k] = agg.get(k, 0.0) + float(v)
         agg = {k: v / max(n, 1) for k, v in agg.items()}
-        out = (tot / max(n, 1), agg)
+        out = (float(np.mean(losses)) if losses else 0.0, agg)
         return (*out, preds_all) if collect else out
 
     def fit(self, data_module, max_epochs: Optional[int] = None, log_every: int = 1,

@@ -21,6 +21,26 @@ import time
 from typing import Dict, Optional
 
 
+def enable_persistent_compile_cache(cache_dir: Optional[str] = None) -> str:
+    """Point XLA's persistent compilation cache at a repo-local directory.
+
+    First full-model compiles are 20-40 s on TPU (minutes on the 2-core CPU
+    host); every trainer/CLI/bench process shares this cache so repeated
+    runs skip them.  Safe to call multiple times.
+    """
+    import jax
+
+    if cache_dir is None:
+        cache_dir = os.environ.get(
+            "HAMGNN_COMPILE_CACHE",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__)))), ".jax_cache"))
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    return cache_dir
+
+
 @contextlib.contextmanager
 def xprof_trace(logdir: str):
     """Capture a JAX profiler trace viewable in XProf/TensorBoard."""

@@ -31,6 +31,7 @@ setup(
             "graph_data_gen_abacus = hamgnn_tpu.tools.graph_data_gen_abacus:main",
             "poscar2openmx = hamgnn_tpu.tools.poscar2openmx:main",
             "poscar2abacus = hamgnn_tpu.tools.poscar2abacus:main",
+            "poscar2siesta = hamgnn_tpu.tools.poscar2abacus:main_siesta",
             "wfn_export = hamgnn_tpu.tools.wfn_export:main",
             "npz_to_lmdb = hamgnn_tpu.tools.npz_to_lmdb:main",
             "uni_hamgnn = hamgnn_tpu.tools.uni_hamgnn:main",

@@ -139,6 +139,30 @@ class TestSphericalHarmonics:
             Y = np.asarray(spherical_harmonics([l], self.v))
             np.testing.assert_allclose(Y_rot, Y @ D.T, atol=2e-5)
 
+    def test_high_l_vs_scipy(self):
+        """Independent sign/ordering check for l=4,5 (VERDICT r1 weak #5:
+        explicit-formula tests stopped at l=3 while production configs use
+        l=4-5).  Reference: standard real SH built from scipy's complex
+        Y_l^m (Condon-Shortley included), component-normalized."""
+        from scipy.special import sph_harm_y
+
+        x, y, z = self.v.T
+        theta = np.arccos(np.clip(z, -1, 1))
+        phi = np.arctan2(y, x)
+        for l in (4, 5):
+            Y = np.asarray(spherical_harmonics([l], self.v))
+            ref = np.zeros((len(self.v), 2 * l + 1))
+            for m in range(-l, l + 1):
+                Yc = sph_harm_y(l, abs(m), theta, phi)
+                if m < 0:
+                    r = np.sqrt(2) * (-1) ** m * np.imag(Yc)
+                elif m == 0:
+                    r = np.real(Yc)
+                else:
+                    r = np.sqrt(2) * (-1) ** m * np.real(Yc)
+                ref[:, m + l] = np.sqrt(4 * np.pi) * r
+            np.testing.assert_allclose(Y, ref, atol=5e-6)
+
     def test_parity(self):
         for l in (1, 2, 3, 4):
             Yp = np.asarray(spherical_harmonics([l], self.v))

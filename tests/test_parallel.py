@@ -281,6 +281,73 @@ class TestParallelTrainer:
         assert last < 0.7 * first, (first, last)
 
 
+_TWO_PROC_SCRIPT = r"""
+import json, os, sys
+import numpy as np
+pid = int(sys.argv[1]); port = sys.argv[2]; out = sys.argv[3]
+import jax
+# force CPU exactly like conftest (env JAX_PLATFORMS is overridden by the
+# sandbox's axon site hook) + cross-process CPU collectives impl
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+from hamgnn_tpu.parallel.multihost import (
+    allgather_metrics, is_primary, maybe_initialize_distributed,
+    process_count)
+ok = maybe_initialize_distributed(coordinator=f"localhost:{port}",
+                                  num_processes=2, process_id=pid)
+g = allgather_metrics({"v": np.float32(pid + 1.5),
+                       "a": np.full((2,), pid, np.float32)})
+json.dump({"ok": bool(ok), "count": process_count(),
+           "primary": bool(is_primary()),
+           "v": np.asarray(g["v"]).tolist(),
+           "a": np.asarray(g["a"]).tolist()}, open(out, "w"))
+"""
+
+
+def test_multihost_two_process_cpu(tmp_path):
+    """Real 2-process jax.distributed bring-up on the CPU backend: both
+    processes see process_count()==2, only rank 0 is primary, and
+    allgather_metrics returns both ranks' values on each process
+    (reference semantics: Model.py:113-126 all_gather_object)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    script = tmp_path / "worker.py"
+    script.write_text(_TWO_PROC_SCRIPT)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "JAX_PLATFORMS": "cpu",
+           "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+           "PYTHONPATH": repo_root + os.pathsep + os.environ.get("PYTHONPATH", "")}
+    env.pop("JAX_COORDINATOR_ADDRESS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i), str(port),
+             str(tmp_path / f"out{i}.json")],
+            env=env, cwd=os.path.dirname(os.path.dirname(__file__)),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(2)]
+    outs = []
+    for p in procs:
+        stdout, _ = p.communicate(timeout=300)
+        outs.append(stdout.decode(errors="replace"))
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o[-2000:]
+    import json
+
+    r0 = json.load(open(tmp_path / "out0.json"))
+    r1 = json.load(open(tmp_path / "out1.json"))
+    for r in (r0, r1):
+        assert r["ok"] and r["count"] == 2
+        assert r["v"] == [1.5, 2.5]
+        assert r["a"] == [[0.0, 0.0], [1.0, 1.0]]
+    assert r0["primary"] and not r1["primary"]
+
+
 def test_multihost_helpers_single_process():
     """Single-process semantics of the multi-host layer (multi-process needs
     real multi-host hardware; sharding equivalence is covered above)."""

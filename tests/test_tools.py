@@ -133,6 +133,83 @@ class TestWfnExport:
         head = open(p).read().splitlines()
         assert int(head[2].split()[0]) == len(c["z"])
 
+    def _write_pao(self, path, lmax=1, mul=2, mesh=24):
+        """Synthetic .pao in the exact format wfn2cube's own test writes
+        (wfn2cube.c:1325-1352)."""
+        with open(path, "w") as f:
+            f.write(f"PAO.Lmax  {lmax}\nPAO.Mul   {mul}\n")
+            f.write(f"grid.num.output  {mesh}\n")
+            for L in range(lmax + 1):
+                f.write(f"<pseudo.atomic.orbitals.L={L}\n")
+                for i in range(mesh):
+                    rv = 0.25 * (i + 1)
+                    vals = "  ".join(
+                        f"{np.exp(-rv / (1.0 + 0.5 * m + L)):.10f}"
+                        for m in range(mul))
+                    f.write(f"{rv * 1.8897:.6f}  {rv:.6f}  {vals}\n")
+                f.write(f"pseudo.atomic.orbitals.L={L}>\n")
+
+    def test_pao_parse_and_phif(self, tmp_path):
+        from hamgnn_tpu.interfaces.pao import parse_pao, phi_f
+
+        p = str(tmp_path / "Si7.0.pao")
+        self._write_pao(p, lmax=2, mul=2, mesh=32)
+        pao = parse_pao(p)
+        assert pao.lmax == 2 and pao.mul == 2 and pao.rv.shape == (32,)
+        # interpolation reproduces grid values exactly at the nodes...
+        r_nodes = pao.rv[3:-3]
+        got = phi_f(r_nodes, pao.rwf[1][0], pao.rv)
+        np.testing.assert_allclose(got, pao.rwf[1][0][3:-3], atol=1e-12)
+        # ...tracks the smooth exp between nodes, vanishes past the cutoff
+        r_mid = 0.5 * (pao.rv[5] + pao.rv[6])
+        val = phi_f(np.array([r_mid]), pao.rwf[0][0], pao.rv)[0]
+        assert abs(val - np.exp(-r_mid)) < 1e-4
+        assert phi_f(np.array([pao.rv[-1] + 1.0]), pao.rwf[0][0], pao.rv)[0] == 0.0
+        # near-origin extrapolation is the PhiF.c parabola a*R^2 + b:
+        # exactly quadratic in R below rv[0]
+        rs = np.array([0.02, 0.05, 0.11])
+        vs = phi_f(rs, pao.rwf[0][0], pao.rv)
+        A = np.stack([rs**2, np.ones(3)], axis=1)
+        coef, *_ = np.linalg.lstsq(A, vs, rcond=None)
+        np.testing.assert_allclose(A @ coef, vs, atol=1e-12)
+        assert np.isfinite(vs).all()
+
+    def test_angular_f_orthonormal(self):
+        """OpenMX real harmonics are orthonormal on the sphere (l<=3)."""
+        from hamgnn_tpu.interfaces.pao import angular_f
+
+        rng = np.random.default_rng(0)
+        n = 200_000
+        theta = np.arccos(rng.uniform(-1, 1, n))
+        phi = rng.uniform(-np.pi, np.pi, n)
+        funcs = [(l, m) for l in range(4) for m in range(2 * l + 1)]
+        vals = np.stack([angular_f(l, m, theta, phi) for l, m in funcs])
+        gram = 4 * np.pi * vals @ vals.T / n
+        np.testing.assert_allclose(gram, np.eye(len(funcs)), atol=0.05)
+
+    def test_density_exact_pao_path(self, tmp_path, band_fixture):
+        from hamgnn_tpu.interfaces.pao import find_pao_file, parse_pao
+        from hamgnn_tpu.models.basis import get_basis_set
+        from hamgnn_tpu.tools.wfn_export import density_on_grid
+
+        os.makedirs(tmp_path / "PAO", exist_ok=True)
+        for nm in ("Si7.0", "C6.0"):
+            self._write_pao(str(tmp_path / "PAO" / f"{nm}.pao"),
+                            lmax=2, mul=3, mesh=32)
+        assert find_pao_file(str(tmp_path), "Si7.0-s3p2d1") is not None
+        c = band_fixture
+        basis = get_basis_set("openmx", 14)
+        pao_by_z = {int(z): parse_pao(str(tmp_path / "PAO" / "Si7.0.pao"))
+                    for z in set(int(v) for v in c["z"])}
+        n_orb = sum(len(basis.basis_def[int(zz)]) for zz in c["z"])
+        coeffs = np.random.default_rng(0).normal(size=n_orb)
+        rho = density_on_grid(c, coeffs, basis, 14, grid_shape=(6, 6, 6),
+                              pao_by_z=pao_by_z)
+        assert np.isfinite(rho).all() and (rho >= 0).all()
+        # exact path differs from the GTO approximation
+        rho_gto = density_on_grid(c, coeffs, basis, 14, grid_shape=(6, 6, 6))
+        assert not np.allclose(rho, rho_gto)
+
 
 class TestVisualization:
     def test_scatter(self, tmp_path):
