@@ -77,6 +77,34 @@ def _tile_cfg(name, default):
 TILE_FWD = _tile_cfg("HAMGNN_TP_TILE_FWD", 0)
 TILE_BWD = _tile_cfg("HAMGNN_TP_TILE_BWD", 0)
 
+
+def _bf16_mode() -> str:
+    """MXU input precision: '' (fp32), 'bwd' (backward only), 'all'.
+
+    bf16 operands with fp32 accumulation run the MXU at full rate instead of
+    the fp32 multi-pass decomposition.  'bwd' keeps the forward (and thus the
+    loss/prediction parity surface) exactly fp32 while gradients — which
+    AdamW normalizes per-parameter anyway — absorb the bf16 product rounding.
+    Read at kernel trace time: set before process start for benchmarking.
+    """
+    v = os.environ.get("HAMGNN_TP_BF16", "").lower()
+    return v if v in ("bwd", "all") else ""
+
+
+def _mxu_dot(a, b, bf16: bool):
+    if bf16:
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _mxu_dot_general(a, b, dims, bf16: bool):
+    if bf16:
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
+    return jax.lax.dot_general(a, b, dims,
+                               preferred_element_type=jnp.float32)
+
 # per-edge-row VMEM working set that scales with the tile (fp32 words); the
 # budgets are calibrated on v5e against the bench node pipeline, where
 # fwd@512 / bwd@256 compile and run well inside VMEM
@@ -275,19 +303,18 @@ class PallasSpec:
                 else jnp.zeros((self.n_rows, self.Vmax), jnp.float32))
 
     # ------------------------------------------------------------------
-    def _mids(self, x_ref, sh, crep_ref, interpret):
+    def _mids(self, x_ref, sh, crep_ref, interpret, bf16=False):
         """Flat per-chunk mid tensors (E, K*mul), lanes k*mul + u."""
-        f32 = jnp.float32
         mids = {}
         for g, (ofs_m, mul, d1, K, crofs) in enumerate(self.chunks):
             if K == 0:
                 continue
             midf = None
             for i in range(d1):
-                W_rep = jnp.dot(
+                W_rep = _mxu_dot(
                     sh,
                     crep_ref[:, crofs + i * K * mul : crofs + (i + 1) * K * mul],
-                    preferred_element_type=f32)
+                    bf16)
                 B = _tile_lanes(
                     x_ref[:, ofs_m + i * mul : ofs_m + (i + 1) * mul], K,
                     interpret)
@@ -299,7 +326,8 @@ class PallasSpec:
     def _fwd_body(self, x_ref, sh_ref, w_ref, wcat_ref, crep_ref, out_ref,
                   interpret):
         f32 = jnp.float32
-        mids = self._mids(x_ref, sh_ref[:], crep_ref, interpret)
+        bf16 = _bf16_mode() == "all"
+        mids = self._mids(x_ref, sh_ref[:], crep_ref, interpret, bf16)
 
         for (k_out, b, d3, V, r0, fan_rows, sources, wb, fast) in self.sched:
             wrows = wcat_ref[r0 : r0 + fan_rows, :V]
@@ -323,8 +351,8 @@ class PallasSpec:
                     BLK = jnp.concatenate(
                         [BLK, jnp.zeros((x_ref.shape[0], fan_rows - fan_in),
                                         f32)], axis=1)
-                out_ref[:, b + m3 * V : b + (m3 + 1) * V] = jnp.dot(
-                    BLK, wrows, preferred_element_type=f32)
+                out_ref[:, b + m3 * V : b + (m3 + 1) * V] = _mxu_dot(
+                    BLK, wrows, bf16)
 
         covered = {k_out for (k_out, *_r) in self.sched}
         for k_out, mio in enumerate(self.plan.irreps_out):
@@ -345,7 +373,8 @@ class PallasSpec:
             dwcat_ref[:] = jnp.zeros_like(dwcat_ref)
 
         sh = sh_ref[:]
-        mids = self._mids(x_ref, sh, crep_ref, interpret)
+        bf16 = _bf16_mode() in ("bwd", "all")
+        mids = self._mids(x_ref, sh, crep_ref, interpret, bf16)
 
         if dw_ref is not None:
             dw_ref[:] = jnp.zeros_like(dw_ref)
@@ -375,13 +404,11 @@ class PallasSpec:
                         [BLK_s, jnp.zeros((x_ref.shape[0],
                                            fan_rows - fan_in), f32)], axis=1)
                 gy = g_ref[:, b + m3 * V : b + (m3 + 1) * V]
-                d = jax.lax.dot_general(
-                    BLK_s, gy, (((0,), (0,)), ((), ())),
-                    preferred_element_type=f32)
+                d = _mxu_dot_general(
+                    BLK_s, gy, (((0,), (0,)), ((), ())), bf16)
                 dwr = d if dwr is None else dwr + d
-                dBLK = jax.lax.dot_general(
-                    gy, wrows, (((1,), (1,)), ((), ())),
-                    preferred_element_type=f32)[:, :fan_in]
+                dBLK = _mxu_dot_general(
+                    gy, wrows, (((1,), (1,)), ((), ())), bf16)[:, :fan_in]
                 if wspan is not None:
                     # fast path: whole-span dw + unscaled dmid in 2 multiplies
                     add = dBLK * BLK
@@ -443,7 +470,7 @@ class PallasSpec:
             for i in range(d1):
                 cslice = crep_ref[
                     :, crofs + i * K * mul : crofs + (i + 1) * K * mul]
-                W_rep = jnp.dot(sh, cslice, preferred_element_type=f32)
+                W_rep = _mxu_dot(sh, cslice, bf16)
                 xi = x_ref[:, ofs_m + i * mul : ofs_m + (i + 1) * mul]
                 dx_ref[:, ofs_m + i * mul : ofs_m + (i + 1) * mul] = (
                     _tree_ksum(dmidf * W_rep, K, mul))
@@ -451,9 +478,8 @@ class PallasSpec:
                     # sh is usually edge spherical harmonics (data, no grad):
                     # the cotangent is only built when a caller asks for it
                     B = _tile_lanes(xi, K, interpret)
-                    ds = jax.lax.dot_general(
-                        dmidf * B, cslice, (((1,), (1,)), ((), ())),
-                        preferred_element_type=f32)
+                    ds = _mxu_dot_general(
+                        dmidf * B, cslice, (((1,), (1,)), ((), ())), bf16)
                     dsh = ds if dsh is None else dsh + ds
         dsh_ref[:] = (dsh if dsh is not None
                       else jnp.zeros_like(dsh_ref[:]))

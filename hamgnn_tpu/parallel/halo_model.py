@@ -123,10 +123,14 @@ def make_halo_loss_fn(model, mesh: Mesh,
     out_mod = model.output
     losses = losses or [{"metric": "mae", "prediction": "hamiltonian",
                          "target": "hamiltonian", "loss_weight": 27.211}]
-    assert out_mod.ham_only, "halo step supports ham_only heads (overlap: TODO)"
     for spec in losses:
-        assert spec["prediction"].lower() == "hamiltonian", (
-            "halo step computes the hamiltonian loss")
+        pred_name = spec["prediction"].lower()
+        assert pred_name in ("hamiltonian", "overlap"), (
+            "halo step computes hamiltonian/overlap losses")
+        assert pred_name == "hamiltonian" or not out_mod.ham_only, (
+            "overlap loss needs ham_only=False")
+        assert spec["metric"].lower() == "mae", "halo step: mae loss"
+    with_overlap = not out_mod.ham_only
 
     irreps_sh = Irreps(rep.irreps_edge_sh)
     irreps_feat = Irreps(rep.irreps_node_features)
@@ -171,6 +175,14 @@ def make_halo_loss_fn(model, mesh: Mesh,
     off_head = HamLayer(irreps_in=Irreps(out_mod.irreps_in_edge),
                         irreps_out=ham_irreps,
                         nonlinearity_type=out_mod.nonlinearity_type)
+    s_on_head = s_off_head = None
+    if with_overlap:
+        s_on_head = HamLayer(irreps_in=Irreps(out_mod.irreps_in_node),
+                             irreps_out=ham_irreps,
+                             nonlinearity_type=out_mod.nonlinearity_type)
+        s_off_head = HamLayer(irreps_in=Irreps(out_mod.irreps_in_edge),
+                              irreps_out=ham_irreps,
+                              nonlinearity_type=out_mod.nonlinearity_type)
 
     def local_loss(params, inp):
         rp = params["params"]["representation"]
@@ -244,16 +256,38 @@ def make_halo_loss_fn(model, mesh: Mesh,
                              node_feats) @ M
         h_off = off_head.apply({"params": op["offsite_hamiltonian"]},
                                edge_feats) @ M
+        s_on = s_off = None
+        if with_overlap:
+            s_on = s_on_head.apply({"params": op["onsite_overlap"]},
+                                   node_feats) @ M
+            s_off = s_off_head.apply({"params": op["offsite_overlap"]},
+                                     edge_feats) @ M
 
         if out_mod.symmetrize:
-            hm = h_on.reshape(-1, nao, nao)
-            h_on = (0.5 * (hm + jnp.swapaxes(hm, -1, -2))).reshape(-1, nao * nao)
-            # inverse-edge blocks: one all_to_all for the boundary edges
-            etable = edge_halo_gather(h_off, edge_send_idx)
-            hm = h_off.reshape(-1, nao, nao)
-            hinv = etable[inv_pos].reshape(-1, nao, nao)
-            h_off = (0.5 * (hm + jnp.swapaxes(hinv, -1, -2))).reshape(
-                -1, nao * nao)
+            def herm_on(h):
+                hm = h.reshape(-1, nao, nao)
+                return (0.5 * (hm + jnp.swapaxes(hm, -1, -2))).reshape(
+                    -1, nao * nao)
+
+            h_on = herm_on(h_on)
+            if s_on is not None:
+                s_on = herm_on(s_on)
+            # inverse-edge blocks: STILL one all_to_all for the boundary
+            # edges — the hamiltonian and overlap rows ride one payload
+            payload = (h_off if s_off is None
+                       else jnp.concatenate([h_off, s_off], axis=-1))
+            etable = edge_halo_gather(payload, edge_send_idx)
+
+            def herm_off(h, col0):
+                hm = h.reshape(-1, nao, nao)
+                hinv = etable[inv_pos, col0 : col0 + nao * nao].reshape(
+                    -1, nao, nao)
+                return (0.5 * (hm + jnp.swapaxes(hinv, -1, -2))).reshape(
+                    -1, nao * nao)
+
+            h_off = herm_off(h_off, 0)
+            if s_off is not None:
+                s_off = herm_off(s_off, nao * nao)
 
         if out_mod.add_H0 and "Hon0" in inp:
             h_on = h_on + inp["Hon0"]
@@ -267,6 +301,9 @@ def make_halo_loss_fn(model, mesh: Mesh,
             -1, nao * nao) * emask[:, None]
         h_on = h_on * on_mask
         h_off = h_off * off_mask
+        if with_overlap:
+            s_on = s_on * on_mask
+            s_off = s_off * off_mask
 
         Hon_t, Hoff_t = inp["Hon"], sq("Hoff")
         if out_mod.zero_point_shift and "Son" in inp:
@@ -290,16 +327,24 @@ def make_halo_loss_fn(model, mesh: Mesh,
         sparsity = total_rows / jnp.maximum(eff, 1.0)
 
         # --- masked-mean losses (global row mask, like train/losses) --
-        abs_on = jnp.sum(jnp.abs(h_on - Hon_t) * node_mask[:, None])
-        abs_off = jnp.sum(jnp.abs(h_off - Hoff_t) * emask[:, None])
         num_rows = _psum(jnp.sum(node_mask) + jnp.sum(emask)) * float(nao * nao)
-        mae = _psum(abs_on + abs_off) / jnp.maximum(num_rows, 1.0)
+
+        def masked_mae(p_on, p_off, t_on, t_off):
+            a = jnp.sum(jnp.abs(p_on - t_on) * node_mask[:, None])
+            b = jnp.sum(jnp.abs(p_off - t_off) * emask[:, None])
+            return _psum(a + b) / jnp.maximum(num_rows, 1.0)
+
+        mae = masked_mae(h_on, h_off, Hon_t, Hoff_t)
+        mae_s = (masked_mae(s_on, s_off, inp["Son"], sq("Soff"))
+                 if with_overlap else None)
         logs = {}
         total = jnp.asarray(0.0, jnp.float32)
         for spec in losses:
-            assert spec["metric"].lower() == "mae", "halo step: mae loss"
-            value = mae * sparsity
-            logs[f"{spec['metric']}_hamiltonian"] = value
+            pname = spec["prediction"].lower()
+            # sparsity correction applies to hamiltonian losses only
+            # (reference Model.py:159-162)
+            value = mae * sparsity if pname == "hamiltonian" else mae_s
+            logs[f"{spec['metric']}_{pname}"] = value
             total = total + spec.get("loss_weight", 1.0) * value
         if data_axis is not None:
             total = jax.lax.pmean(total, data_axis)

@@ -150,3 +150,55 @@ def test_halo_full_model_with_corr_product():
     ref_loss, _ = _single_device_loss(model, params, graph)
     np.testing.assert_allclose(np.asarray(halo_loss), np.asarray(ref_loss),
                                rtol=2e-5)
+
+
+def test_halo_full_model_with_overlap_heads():
+    """ham_only=False: overlap heads + overlap MAE under the halo partition
+    match the single-device step (one off-site all_to_all carries both the
+    hamiltonian and overlap boundary rows)."""
+    losses = LOSSES + [{"metric": "mae", "prediction": "overlap",
+                        "target": "overlap", "loss_weight": 1.0}]
+    rng = np.random.default_rng(11)
+    crystals = []
+    for _ in range(2):
+        c = make_crystal(rng, n_atoms=6, species=(6, 14), cell_size=5.0,
+                         cutoff=4.0)
+        c = add_random_hamiltonian_targets(rng, c, nao_max=14)
+        crystals.append(c)
+    graph = pad_and_batch(crystals, node_bucket=16, edge_bucket=256)
+
+    rep = HamGNNConvE3(
+        num_types=32, irreps_edge_sh=IRREPS_SH,
+        irreps_node_features=IRREPS_FEAT, num_layers=2, num_radial=8,
+        rbf_func="bessel", cutoff=4.0, radial_mlp=(16,))
+    out = HamGNNPlusPlusOut(
+        irreps_in_node=IRREPS_FEAT, irreps_in_edge=IRREPS_FEAT,
+        nao_max=14, ham_type="openmx", ham_only=False, symmetrize=True,
+        add_H0=True, zero_point_shift=True)
+    model = HamGNNModel(representation=rep, output=out)
+    params = model.init(jax.random.PRNGKey(7), graph)
+
+    n_shards = 8
+    mesh = Mesh(np.array(jax.devices()[:n_shards]), ("graph",))
+    plan = plan_for_graph(graph, n_shards)
+    inputs = shard_halo_inputs(mesh, build_halo_inputs(graph, plan))
+
+    loss_fn = make_halo_loss_fn(model, mesh, losses)
+    halo_loss, halo_logs = jax.jit(loss_fn)(params, inputs)
+    preds = model.apply(params, graph)
+    ref_loss, ref_logs = compute_losses(preds, graph, losses)
+
+    np.testing.assert_allclose(np.asarray(halo_loss), np.asarray(ref_loss),
+                               rtol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(halo_logs["mae_overlap"]),
+        np.asarray(ref_logs["mae_overlap"]), rtol=2e-5)
+
+    halo_grads = jax.jit(jax.grad(lambda p: loss_fn(p, inputs)[0]))(params)
+    ref_grads = jax.jit(jax.grad(lambda p: compute_losses(
+        model.apply(p, graph), graph, losses)[0]))(params)
+    flat_h = jax.tree_util.tree_leaves(halo_grads)
+    flat_r = jax.tree_util.tree_leaves(ref_grads)
+    for a, b in zip(flat_h, flat_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=5e-4)
