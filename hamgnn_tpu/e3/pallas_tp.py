@@ -304,7 +304,13 @@ class PallasSpec:
 
     # ------------------------------------------------------------------
     def _mids(self, x_ref, sh, crep_ref, interpret, bf16=False):
-        """Flat per-chunk mid tensors (E, K*mul), lanes k*mul + u."""
+        """Flat per-chunk mid tensors (E, K*mul), lanes k*mul + u.
+
+        Per-(chunk, i) W_rep dots: merging them into one per-chunk dot was
+        measured SLOWER end-to-end (80k vs 101k edges/s at the bench config)
+        because the live merged slab halves the auto tile size — dispatch
+        overhead is cheaper than smaller tiles here.
+        """
         mids = {}
         for g, (ofs_m, mul, d1, K, crofs) in enumerate(self.chunks):
             if K == 0:
