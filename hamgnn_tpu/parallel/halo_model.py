@@ -130,7 +130,11 @@ def make_halo_loss_fn(model, mesh: Mesh,
         assert pred_name == "hamiltonian" or not out_mod.ham_only, (
             "overlap loss needs ham_only=False")
         assert spec["metric"].lower() == "mae", "halo step: mae loss"
-    with_overlap = not out_mod.ham_only
+    # overlap branch only when an overlap loss is actually requested — a
+    # ham_only=False model trained without overlap targets must not index
+    # Son/Soff (KeyError) nor double the off-site all_to_all payload
+    # (ADVICE r2)
+    with_overlap = any(s["prediction"].lower() == "overlap" for s in losses)
 
     irreps_sh = Irreps(rep.irreps_edge_sh)
     irreps_feat = Irreps(rep.irreps_node_features)

@@ -57,13 +57,21 @@ def maybe_initialize_distributed(coordinator: Optional[str] = None,
         os.environ.get("JAX_PROCESS_ID", "-1") or -1)
 
     if coordinator and num > 1 and pid >= 0:
-        jax.distributed.initialize(coordinator_address=coordinator,
-                                   num_processes=num, process_id=pid)
+        try:
+            jax.distributed.initialize(coordinator_address=coordinator,
+                                       num_processes=num, process_id=pid)
+        except RuntimeError as e:  # already initialized by external code
+            if "already" not in str(e).lower():
+                raise
         _initialized = True
         return True
     if os.environ.get("HAMGNN_AUTO_DISTRIBUTED"):
         # Cloud TPU slice: full autodetection
-        jax.distributed.initialize()
+        try:
+            jax.distributed.initialize()
+        except RuntimeError as e:  # already initialized by external code
+            if "already" not in str(e).lower():
+                raise
         _initialized = True
         return jax.process_count() > 1
     _initialized = True  # single-process decided; runtime queries now safe

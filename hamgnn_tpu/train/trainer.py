@@ -261,7 +261,12 @@ class Trainer:
             losses.append(loss)
         if not losses:
             return 0.0
-        return float(np.mean(jax.device_get(losses)))
+        # guarded (non-finite) steps dropped the update on-device; exclude
+        # their loss from the epoch mean too so one bad step cannot poison
+        # plateau-LR / early-stop comparisons (ADVICE r2)
+        vals = np.asarray(jax.device_get(losses), dtype=np.float64)
+        finite = np.isfinite(vals)
+        return float(vals[finite].mean()) if finite.any() else 0.0
 
     def eval_epoch(self, batches: Iterable[Graph], collect: bool = False):
         n = 0

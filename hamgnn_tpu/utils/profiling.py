@@ -35,6 +35,13 @@ def enable_persistent_compile_cache(cache_dir: Optional[str] = None) -> str:
             "HAMGNN_COMPILE_CACHE",
             os.path.join(os.path.dirname(os.path.dirname(
                 os.path.dirname(os.path.abspath(__file__)))), ".jax_cache"))
+    # opt-out (HAMGNN_COMPILE_CACHE=0) and don't override a cache dir the
+    # user/application already configured (ADVICE r2: avoid leaking global
+    # JAX config mutations into unrelated code)
+    if cache_dir in ("0", "", "off", "none"):
+        return ""
+    if jax.config.jax_compilation_cache_dir:
+        return jax.config.jax_compilation_cache_dir
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
