@@ -106,15 +106,21 @@ def _mxu_dot_general(a, b, dims, bf16: bool):
                                preferred_element_type=jnp.float32)
 
 # per-edge-row VMEM working set that scales with the tile (fp32 words); the
-# budgets are calibrated on v5e against the bench node pipeline, where
-# fwd@512 / bwd@256 compile and run well inside VMEM
+# budgets are calibrated on v5e against the bench node pipeline (measured:
+# bwd@512 compiles and runs inside the 120MB limit at ~45k words/row by this
+# formula, i.e. the formula overestimates ~1.5x — budget adjusted to match).
+# fwd tiles are CAPPED at 256: measured on v5e, fwd@256 beats fwd@512/1024
+# by 6-10% on both bench pipelines (smaller live slabs schedule better) even
+# when more VMEM is available.
 _FWD_BUDGET_WORDS = 15_000_000
-_BWD_BUDGET_WORDS = 12_000_000
+_BWD_BUDGET_WORDS = 30_000_000
+_FWD_TILE_CAP = 256
+_BWD_TILE_CAP = 512
 
 
-def _auto_tile(words_per_row, budget):
+def _auto_tile(words_per_row, budget, cap=1024):
     te = 128
-    while te < 1024 and words_per_row * te * 2 <= budget:
+    while te < cap and words_per_row * te * 2 <= budget:
         te *= 2
     return te
 
@@ -282,8 +288,10 @@ class PallasSpec:
         base = self.d_in + self.n_ch + self.d_out + 32 + max_fan
         fwd_words = base + midw + max_wrep
         bwd_words = base + 2 * midw + max_wrep + 3 * max_fan
-        self.tile_fwd = TILE_FWD or _auto_tile(fwd_words, _FWD_BUDGET_WORDS)
-        self.tile_bwd = TILE_BWD or _auto_tile(bwd_words, _BWD_BUDGET_WORDS)
+        self.tile_fwd = TILE_FWD or _auto_tile(fwd_words, _FWD_BUDGET_WORDS,
+                                               _FWD_TILE_CAP)
+        self.tile_bwd = TILE_BWD or _auto_tile(bwd_words, _BWD_BUDGET_WORDS,
+                                               _BWD_TILE_CAP)
 
     # ------------------------------------------------------------------
     def build_wcat(self, flat_w):

@@ -146,7 +146,14 @@ class HamGNNPlusPlusOut(fnn.Module):
         edge_attr = representation["edge_attr"]
         dtype = node_attr.dtype
 
-        M = jnp.asarray(_merge_reorder_matrix(self.ham_type, self.nao_max), dtype)
+        M_np = _merge_reorder_matrix(self.ham_type, self.nao_max)
+        M = jnp.asarray(M_np, dtype)
+        # transpose-fused merge matrix: M_T columns are M's with the (i,j)
+        # block indices swapped, so the Hermitian mates come straight out of
+        # the head matmul — no (n, nao, nao) transpose ops on device (those
+        # compile to layout-pathological fusions, ~5 ms/step at 512 atoms)
+        tperm = (np.arange(nao * nao).reshape(nao, nao).T).reshape(-1)
+        M_T = jnp.asarray(M_np[:, tperm], dtype)
         mask_table = jnp.asarray(basis.orbital_mask_table, dtype)
 
         src, dst = graph.edge_index[0], graph.edge_index[1]
@@ -159,15 +166,18 @@ class HamGNNPlusPlusOut(fnn.Module):
                 nonlinearity_type=self.nonlinearity_type,
                 name=head_name,
             )(feats)
-            return comps @ M  # (n, nao^2): merge + reorder in one matmul
+            if not self.symmetrize:
+                return comps @ M, None
+            # merge + reorder (+ transposed variant) as two matmuls
+            return comps @ M, comps @ M_T
 
-        def hermitize_on(h):
-            hm = h.reshape(-1, nao, nao)
-            return (0.5 * (hm + jnp.swapaxes(hm, -1, -2))).reshape(-1, nao * nao)
+        def hermitize_on(pair):
+            h, hT = pair
+            return 0.5 * (h + hT)
 
-        def hermitize_off(h):
-            hm = h.reshape(-1, nao, nao)
-            return (0.5 * (hm + jnp.swapaxes(hm[inv_edge], -1, -2))).reshape(-1, nao * nao)
+        def hermitize_off(pair):
+            h, hT = pair
+            return 0.5 * (h + hT[inv_edge])
 
         node_orb = mask_table[graph.z]                      # (N, nao)
         on_mask = (node_orb[:, :, None] * node_orb[:, None, :]).reshape(-1, nao * nao)
@@ -181,9 +191,9 @@ class HamGNNPlusPlusOut(fnn.Module):
         # --- overlap heads (ham_only=False) ------------------------------
         if not self.ham_only:
             s_on = blocks_from("onsite_overlap", node_attr, self.irreps_in_node)
-            s_on = hermitize_on(s_on) if self.symmetrize else s_on
+            s_on = hermitize_on(s_on) if self.symmetrize else s_on[0]
             s_off = blocks_from("offsite_overlap", edge_attr, self.irreps_in_edge)
-            s_off = hermitize_off(s_off) if self.symmetrize else s_off
+            s_off = hermitize_off(s_off) if self.symmetrize else s_off[0]
             s_on = s_on * on_mask
             s_off = s_off * off_mask
             result["overlap_on"] = s_on
@@ -191,12 +201,12 @@ class HamGNNPlusPlusOut(fnn.Module):
 
         # --- Hamiltonian heads -------------------------------------------
         h_on = blocks_from("onsite_hamiltonian", node_attr, self.irreps_in_node)
-        h_on = hermitize_on(h_on) if self.symmetrize else h_on
+        h_on = hermitize_on(h_on) if self.symmetrize else h_on[0]
         if self.add_H0 and graph.Hon0 is not None:
             h_on = h_on + graph.Hon0
 
         h_off = blocks_from("offsite_hamiltonian", edge_attr, self.irreps_in_edge)
-        h_off = hermitize_off(h_off) if self.symmetrize else h_off
+        h_off = hermitize_off(h_off) if self.symmetrize else h_off[0]
         if self.add_H0 and graph.Hoff0 is not None:
             h_off = h_off + graph.Hoff0
 
