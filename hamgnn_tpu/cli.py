@@ -214,8 +214,8 @@ def train_and_evaluate(config) -> None:
     if is_primary():
         _dump_resolved_config(config)
     model = build_model(config)
-    trainer = Trainer(
-        model,
+
+    trainer_kwargs = dict(
         losses=[config_to_dict(l) for l in config.losses_metrics.losses],
         metrics=[config_to_dict(m) for m in config.losses_metrics.metrics],
         lr=config.optim_params.lr,
@@ -228,8 +228,34 @@ def train_and_evaluate(config) -> None:
         train_dir=config.profiler_params.train_dir,
     )
 
-    example = next(iter(data.test_batches() if config.setup.stage == "test"
-                        else data.train_batches()))
+    # multi-chip strategy selection (reference: automatic DDP selection in
+    # main.py:300-323; here config-driven — see train/config.py `parallel`)
+    par = config.setup.get("parallel", None)
+    mode = (par.get("mode", "none") if par is not None else "none").lower()
+    if mode in ("dp", "halo"):
+        import jax
+
+        from .parallel.halo_trainer import HaloDataAdapter, HaloTrainer
+
+        n_dev = len(jax.devices())
+        n_graph = int(par.get("n_graph", 0) or 0)
+        n_data = int(par.get("n_data", 0) or 0)
+        if mode == "dp":
+            n_graph = n_graph or 1
+            n_data = n_data or max(1, n_dev // n_graph)
+        else:
+            n_graph = n_graph or max(1, n_dev // max(n_data, 1))
+            n_data = n_data or max(1, n_dev // n_graph)
+        edge_q = int(par.get("edge_quantum", 64) or 64)
+        trainer = HaloTrainer(model, n_data=n_data, n_graph=n_graph,
+                              edge_quantum=edge_q, **trainer_kwargs)
+        data = HaloDataAdapter(data, n_data=n_data, n_graph=n_graph,
+                               edge_quantum=edge_q)
+        example = data.example_graph()
+    else:
+        trainer = Trainer(model, **trainer_kwargs)
+        example = next(iter(data.test_batches() if config.setup.stage == "test"
+                            else data.train_batches()))
     trainer.init_params(example)
 
     ckpt_path = config.setup.checkpoint_path

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Mapping, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as fnn
@@ -206,6 +207,49 @@ class PairInteractionBlockCompat(fnn.Module):
         return mix
 
 
+class DenseRegressionCompat(fnn.Module):
+    """Reference ``denseRegression`` (utils/regression_layers.py:7-21) with
+    use_batch_norm=False: (n_h-1) x [Linear+bias -> Softplus] -> Linear+bias.
+    Torch Linear weights are (out, in); import transposes into flax kernels."""
+
+    in_features: int
+    out_features: int
+    n_h: int = 2
+
+    @fnn.compact
+    def __call__(self, x):
+        for i in range(self.n_h - 1):
+            x = fnn.softplus(fnn.Dense(self.in_features, name=f"fc_{i}")(x))
+        return fnn.Dense(self.out_features, name="fc_out")(x)
+
+
+class ChargeDopedOneHotCompat(fnn.Module):
+    """Reference ``Embedding_block_q`` (toolbox/nequip/nn/embedding/
+    _embedding_block.py:56-137): one-hot + mlp_q(smear(q)) - mlp_q(smear(0))."""
+
+    num_types: int
+    num_charge_attr_feas: int = 8
+
+    @fnn.compact
+    def __call__(self, z, per_node_charge):
+        one_hot = jax.nn.one_hot(z, self.num_types, dtype=jnp.float32)
+        cmin, cmax = -8.0, 8.0
+        n = self.num_charge_attr_feas
+        width = (cmax - cmin) / (n - 1) if n > 1 else 1.0
+        centers = jnp.linspace(cmin, cmax, n)
+        gamma = 1.0 / width**2
+
+        def smear(q):
+            d = jnp.clip(q, cmin, cmax)[..., None] - centers
+            return jnp.exp(-gamma * d * d)
+
+        mlp = DenseRegressionCompat(in_features=n, out_features=self.num_types,
+                                    name="mlp_q")
+        q = smear(per_node_charge)
+        neutral = smear(jnp.zeros_like(per_node_charge))
+        return one_hot + mlp(q) - mlp(neutral)
+
+
 class HamGNNConvE3Compat(fnn.Module):
     """Reference-parametrized representation net for imported checkpoints."""
 
@@ -218,6 +262,11 @@ class HamGNNConvE3Compat(fnn.Module):
     cutoff: float = 26.0
     radial_mlp: Tuple[int, ...] = (64, 64)
     legacy_edge_update: bool = False
+    use_corr_prod: bool = False
+    correlation: int = 2
+    num_hidden_features: int = 16
+    apply_charge_doping: bool = False
+    num_charge_attr_feas: int = 8
 
     @fnn.compact
     def __call__(self, graph):
@@ -228,8 +277,15 @@ class HamGNNConvE3Compat(fnn.Module):
         irreps_onehot = Irreps(f"{self.num_types}x0e")
         sh_ls = [ir.l for _, ir in irreps_sh]
 
-        node_attrs = jnp.asarray(
-            np.eye(self.num_types, dtype=np.float32))[graph.z]
+        if self.apply_charge_doping and graph.doping_charge is not None:
+            node_attrs = ChargeDopedOneHotCompat(
+                num_types=self.num_types,
+                num_charge_attr_feas=self.num_charge_attr_feas,
+                name="atomic_embedding",
+            )(graph.z, graph.doping_charge[graph.batch])
+        else:
+            node_attrs = jnp.asarray(
+                np.eye(self.num_types, dtype=np.float32))[graph.z]
         edge_vec = graph.edge_vectors()
         edge_len = jnp.sqrt(jnp.sum(edge_vec * edge_vec, axis=-1))
         edge_len = jnp.where(graph.edge_mask, edge_len, 1.0)
@@ -253,6 +309,17 @@ class HamGNNConvE3Compat(fnn.Module):
                 radial_mlp=tuple(self.radial_mlp), name=f"convolutions_{i}",
             )(node_feats, edge_feats, edge_sh, edge_scalars, graph.edge_index,
               graph.edge_mask)
+            if self.use_corr_prod:
+                from ..nn.blocks import CorrProductBlock
+
+                node_feats = CorrProductBlock(
+                    irreps_node_feats=irreps_feat,
+                    num_hidden_features=self.num_hidden_features,
+                    correlation=self.correlation,
+                    num_elements=self.num_types,
+                    use_skip_connections=True,
+                    name=f"corr_products_{i}",
+                )(node_feats, node_attrs)
             edge_feats = PairInteractionBlockCompat(
                 irreps_node_feats=irreps_feat, irreps_edge_feats=irreps_feat,
                 irreps_sh=irreps_sh, num_edge_scalars=self.num_radial,
@@ -302,16 +369,29 @@ def map_reference_state(state: Mapping[str, np.ndarray], *,
                         irreps_ham,
                         rep_prefix: str = "representation.",
                         out_prefix: str = "output_module.",
+                        use_corr_prod: bool = False,
+                        correlation: int = 2,
+                        num_hidden_features: int = 16,
+                        apply_charge_doping: bool = False,
+                        ham_only: bool = True,
+                        soc_basis: Optional[str] = None,
+                        irreps_ham_su2=None,
+                        nao_max: Optional[int] = None,
+                        add_H_nonsoc: bool = False,
                         ) -> Dict[str, np.ndarray]:
     """Reference Lightning ``state_dict`` -> flat assignments for a
-    {"representation": HamGNNConvE3Compat, "output": HamGNNPlusPlusOut-heads}
+    {"representation": HamGNNConvE3Compat, "output": HamGNN heads}
     parameter tree (paths "/"-joined for
     :func:`hamgnn_tpu.interfaces.torch_ckpt.assign_params`).
 
-    Covers every parameter of the non-SOC HamGNNConvE3 + Hamiltonian-head
-    stack: o3.Linear (reindexed), TP internal weights (per-instruction split),
-    radial FCNs (copied), Bessel frequencies.  Raises KeyError for any
-    reference key it does not understand, so coverage failures are loud.
+    Covers the HamGNNConvE3 stack — o3.Linear (reindexed), TP internal
+    weights (per-instruction split), radial FCNs, Bessel frequencies — plus
+    CorrProductBlock / MACE symmetric-contraction weights
+    (toolbox/mace/modules/symmetric_contraction.py:24-233), the
+    charge-doping embedding (_embedding_block.py:56-137), overlap heads
+    (hamgnn_output.py:248-256), and the SOC su2/so3 heads
+    (hamgnn_output.py:188-208).  Raises KeyError for any reference key it
+    does not understand, so coverage failures are loud.
     """
     feat = Irreps(irreps_node_features)
     sh = Irreps(irreps_edge_sh)
@@ -362,27 +442,79 @@ def map_reference_state(state: Mapping[str, np.ndarray], *,
             linears[f"{pair}/skip_linear"] = (feat, feat)
         add_msgpack(f"{pair}/conv_tp", feat)
 
-    for head in ("onsite_hamiltonian", "offsite_hamiltonian"):
+    # --- output heads (HamLayer = residual + linear head) ---------------
+    heads: List[Tuple[str, Irreps]] = []
+    if soc_basis == "su2":
+        assert irreps_ham_su2 is not None, "su2 import needs irreps_ham_su2"
+        su2 = Irreps(irreps_ham_su2)
+        doubled = su2 + su2
+        heads += [("onsite_hamiltonian", doubled),
+                  ("offsite_hamiltonian", doubled)]
+    else:
+        if not (soc_basis == "so3" and add_H_nonsoc):
+            heads += [("onsite_hamiltonian", ham),
+                      ("offsite_hamiltonian", ham)]
+        if soc_basis == "so3":
+            assert nao_max is not None, "so3 import needs nao_max"
+            ksi = Irreps(f"{nao_max * nao_max}x0e")
+            heads += [("onsite_ksi", ksi), ("offsite_ksi", ksi)]
+    if not ham_only:
+        heads += [("onsite_overlap", ham), ("offsite_overlap", ham)]
+    for head, irreps_out_head in heads:
         base = f"output/{head}"
         linears[f"{base}/residual/linear1"] = (feat, gate_in_feat)
         linears[f"{base}/residual/linear2"] = (gate_out_feat, feat)
-        linears[f"{base}/head"] = (feat, ham)
+        linears[f"{base}/head"] = (feat, irreps_out_head)
+
+    # --- corr_products (MACE symmetric contraction) ---------------------
+    feat_s = feat.simplify()
+    hidden = Irreps([(num_hidden_features, ir) for _, ir in feat_s])
+    if use_corr_prod:
+        for i in range(num_layers):
+            cp = f"representation/corr_products_{i}"
+            linears[f"{cp}/linear_pre"] = (feat_s, hidden)
+            linears[f"{cp}/linear_sc"] = (feat_s, feat_s)
+            linears[f"{cp}/prod_linear"] = (hidden, hidden)
+            linears[f"{cp}/linear_out"] = (hidden, feat_s)
+    hidden_irs = [ir for _, ir in feat_s]
+
+    # buffers in the reference state_dict that carry no parameters
+    _buffer_markers = ("U_matrix_", "charge_centers", "charge_gamma",
+                       "neutral_charge_attrs", ".cutoff_func.",
+                       "cg_calculator", "oyzx2spin", "Us_openmx",
+                       "hamiltonian_irreps_dimensions")
 
     # reference key -> our path renames
     def ours_path(ref_key: str) -> str:
         k = ref_key
         k = k.replace("convolutions.", "convolutions_")
         k = k.replace("pair_interactions.", "pair_interactions_")
+        k = k.replace("corr_products.", "corr_products_")
+        k = k.replace(".prod.linear.", ".prod_linear.")
         k = k.replace("chemical_embedding.linear", "chemical_embedding")
         k = k.replace("onsite_hamiltonian_network.", "onsite_hamiltonian.")
         k = k.replace("offsite_hamiltonian_network.", "offsite_hamiltonian.")
+        k = k.replace("onsite_overlap_network.", "onsite_overlap.")
+        k = k.replace("offsite_overlap_network.", "offsite_overlap.")
+        k = k.replace("onsite_ksi_network.", "onsite_ksi.")
+        k = k.replace("offsite_ksi_network.", "offsite_ksi.")
         k = k.replace("residual_block.", "residual.")
         k = k.replace("linear_transform", "head")
         k = k.replace("radial_basis.basis.", "radial_basis.")
         return k.replace(".", "/")
 
+    import re as _re
+
     assignments: Dict[str, np.ndarray] = {}
     for key, value in state.items():
+        if any(m in key for m in _buffer_markers):
+            continue
+        if (soc_basis == "so3" and add_H_nonsoc and key.startswith(out_prefix)
+                and "hamiltonian_network" in key):
+            # present in the reference checkpoint but unused at inference:
+            # under add_H_nonsoc the spatial H comes from the stage-1 model
+            # (hamgnn_output.py:3028-3049)
+            continue
         if key.startswith(rep_prefix):
             path = "representation/" + ours_path(key[len(rep_prefix):])
         elif key.startswith(out_prefix):
@@ -393,6 +525,41 @@ def map_reference_state(state: Mapping[str, np.ndarray], *,
         if path.endswith("/bessel_weights"):
             assignments[path] = np.asarray(value)
             continue
+
+        # charge-doping mlp_q (denseRegression, n_h=2, no batch norm):
+        # fcs.{i}.0.{weight,bias} -> fc_{i}/{kernel,bias}; fc_out likewise.
+        # torch Linear weight is (out, in) -> transpose into flax kernels.
+        m = _re.search(r"/mlp_q/(?:fcs/(\d+)/0|fc_out)/(weight|bias)$", path)
+        if m is not None:
+            layer = "fc_out" if m.group(1) is None else f"fc_{m.group(1)}"
+            base = path[: m.start()] + "/mlp_q/" + layer
+            if m.group(2) == "weight":
+                assignments[base + "/kernel"] = np.asarray(value).T
+            else:
+                assignments[base + "/bias"] = np.asarray(value)
+            continue
+
+        # MACE symmetric-contraction weights:
+        # .../prod/symmetric_contractions/contractions/{j}/weights_max -> the
+        # nu=correlation tensor of contraction_{ir_j}; /weights/{k} -> the
+        # nu=correlation-1-k tensor.  Our Contraction divides its parameter
+        # by num_params at use (MACE only divides at init), so imported
+        # values are multiplied by num_params.
+        m = _re.search(r"/prod/symmetric_contractions/contractions/(\d+)/"
+                       r"(weights_max|weights/(\d+))$", path)
+        if m is not None:
+            if np.asarray(value).shape[1] == 0:
+                continue  # zero-path order: no matching parameter on our side
+            j = int(m.group(1))
+            nu = (correlation if m.group(2) == "weights_max"
+                  else correlation - 1 - int(m.group(3)))
+            ir_j = hidden_irs[j]
+            base = path[: path.index("/prod/symmetric_contractions")]
+            num_params = int(np.asarray(value).shape[1])
+            assignments[f"{base}/prod/contraction_{ir_j}/w{nu}"] = (
+                np.asarray(value) * num_params)
+            continue
+
         assert path.endswith("/weight"), path
         site = path[: -len("/weight")]
         if site in linears:

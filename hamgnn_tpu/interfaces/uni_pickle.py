@@ -70,21 +70,104 @@ def _make_stub(module: str, name: str) -> type:
     return _STUB_CACHE[key]
 
 
+_STORAGE_DTYPES = {
+    "FloatStorage": np.float32, "DoubleStorage": np.float64,
+    "HalfStorage": np.float16, "BFloat16Storage": np.uint16,  # raw bits
+    "LongStorage": np.int64, "IntStorage": np.int32,
+    "ShortStorage": np.int16, "CharStorage": np.int8,
+    "ByteStorage": np.uint8, "BoolStorage": np.bool_,
+    "ComplexFloatStorage": np.complex64,
+    "ComplexDoubleStorage": np.complex128,
+}
+
+
+def _storage_dtype(storage_type) -> np.dtype:
+    name = getattr(storage_type, "_stub_name", None) or getattr(
+        storage_type, "__name__", str(storage_type))
+    if name in _STORAGE_DTYPES:
+        return np.dtype(_STORAGE_DTYPES[name])
+    # torch.storage.TypedStorage path: pid carries a dtype object instead
+    dt = getattr(storage_type, "dtype", None)
+    if dt is not None:
+        return np.dtype(str(dt).replace("torch.", ""))
+    raise ValueError(f"unknown torch storage type {name!r}")
+
+
+def _np_rebuild_tensor_v2(storage, storage_offset, size, stride,
+                          requires_grad=False, backward_hooks=None,
+                          metadata=None):
+    """torch._utils._rebuild_tensor_v2 equivalent producing numpy arrays
+    from the flat storage buffer (stride is in elements, torch-style)."""
+    a = np.asarray(storage)
+    if not size:
+        return a[storage_offset].copy() if a.size else a
+    itemsize = a.dtype.itemsize
+    return np.lib.stride_tricks.as_strided(
+        a[storage_offset:], shape=tuple(size),
+        strides=tuple(s * itemsize for s in stride)).copy()
+
+
 class _PermissiveUnpickler(pickle.Unpickler):
+    """Unpickler that stubs unimportable classes; with ``storage_loader`` set
+    (torch.save zip format) it also reconstructs tensor payloads as numpy
+    arrays without importing torch."""
+
+    storage_loader = None  # callable (dtype, key, numel) -> np.ndarray
+
     def find_class(self, module, name):
+        if self.storage_loader is not None and module == "torch._utils":
+            if name in ("_rebuild_tensor_v2", "_rebuild_tensor"):
+                return _np_rebuild_tensor_v2
+            if name in ("_rebuild_parameter", "_rebuild_parameter_with_state"):
+                return lambda data, requires_grad=True, *a: data
         try:
             return super().find_class(module, name)
         except Exception:  # noqa: BLE001 — any unimportable class gets a stub
             return _make_stub(module, name)
 
-    def persistent_load(self, pid):  # torch.save legacy persistent ids
-        return pid
+    def persistent_load(self, pid):
+        if self.storage_loader is not None and isinstance(pid, tuple) \
+                and len(pid) >= 4 and pid[0] == "storage":
+            _, storage_type, key, _location, *rest = pid
+            numel = rest[0] if rest else None
+            return self.storage_loader(_storage_dtype(storage_type),
+                                       str(key), numel)
+        return pid  # plain-pickle persistent ids pass through
+
+
+def _unpickle_torch_zip(path_or_bytes) -> Any:
+    """torch.save (zipfile format, torch>=1.6): ``<name>/data.pkl`` +
+    ``<name>/data/<key>`` raw little-endian storages."""
+    import zipfile
+
+    zf = zipfile.ZipFile(io.BytesIO(path_or_bytes)
+                         if isinstance(path_or_bytes, (bytes, bytearray))
+                         else path_or_bytes)
+    names = zf.namelist()
+    pkl = next(n for n in names if n.endswith("/data.pkl") or n == "data.pkl")
+    root = pkl[: -len("data.pkl")]
+
+    def load_storage(dtype, key, numel):
+        raw = np.frombuffer(zf.read(f"{root}data/{key}"), dtype=dtype)
+        if dtype == np.uint16:  # bfloat16 bits -> float32
+            return (raw.astype(np.uint32) << 16).view(np.float32)
+        return raw.copy()
+
+    up = _PermissiveUnpickler(io.BytesIO(zf.read(pkl)))
+    up.storage_loader = load_storage
+    return up.load()
 
 
 def stub_unpickle(path_or_bytes) -> Any:
     if isinstance(path_or_bytes, (bytes, bytearray)):
-        f = io.BytesIO(path_or_bytes)
-        return _PermissiveUnpickler(f).load()
+        head = bytes(path_or_bytes[:4])
+        if head.startswith(b"PK"):
+            return _unpickle_torch_zip(path_or_bytes)
+        return _PermissiveUnpickler(io.BytesIO(path_or_bytes)).load()
+    with open(path_or_bytes, "rb") as f:
+        head = f.read(4)
+    if head.startswith(b"PK"):  # torch.save zip container
+        return _unpickle_torch_zip(path_or_bytes)
     with open(path_or_bytes, "rb") as f:
         return _PermissiveUnpickler(f).load()
 
@@ -130,14 +213,18 @@ def predictor_state_dicts(predictor) -> Dict[str, Dict[str, np.ndarray]]:
 
 
 def convert_predictor_pickle(pickle_path: str, config, out_dir: str,
-                             example_graph=None) -> Dict[str, int]:
+                             example_graph=None,
+                             soc_config=None) -> Dict[str, int]:
     """Reference predictor pickle -> Uni-HamGNN package directory.
 
-    ``config`` is a resolved reference-schema config (hyperparameters of the
-    published model); the non-SOC model is mapped onto the e3nn-compat
-    representation + Hamiltonian head and saved as an orbax package the
-    :mod:`hamgnn_tpu.tools.uni_hamgnn` predictor can load.  Returns counts of
-    converted parameters per model.
+    ``config`` / ``soc_config`` are resolved reference-schema configs
+    (hyperparameters of the published two-stage predictor,
+    Uni-HamiltonianPredictor.py:73-76).  The non-SOC model maps onto the
+    e3nn-compat representation + Hamiltonian head; the SOC model (when
+    present and ``soc_config`` given) onto the e3nn-compat representation +
+    ``HamGNNSOCOut(add_H_nonsoc=True)``, so two-stage inference with the
+    published weights runs through :mod:`hamgnn_tpu.tools.uni_hamgnn`.
+    Returns counts of converted parameters per model.
     """
     import os
 
@@ -202,4 +289,56 @@ def convert_predictor_pickle(pickle_path: str, config, out_dir: str,
     ckptr.save(os.path.abspath(os.path.join(out_dir, "nonsoc_params")),
                {"params": new_params}, force=True)
     ckptr.wait_until_finished()
-    return {"non_soc": len(assignments)}
+    counts = {"non_soc": len(assignments)}
+
+    # --- SOC stage (two-stage predictor, add_H_nonsoc) -------------------
+    if "soc" in states and soc_config is not None:
+        from ..models.soc import HamGNNSOCOut
+
+        spre = soc_config.representation_nets.HamGNN_pre
+        sout = soc_config.output_nets.HamGNN_out
+        soc_basis = sout.get("soc_basis", "so3")
+        srep = HamGNNConvE3Compat(
+            num_types=spre.num_types, irreps_edge_sh=spre.irreps_edge_sh,
+            irreps_node_features=spre.irreps_node_features,
+            num_layers=spre.num_layers, num_radial=spre.num_radial,
+            rbf_func=spre.rbf_func.lower(), cutoff=spre.cutoff,
+            radial_mlp=tuple(spre.radial_MLP))
+        shead = HamGNNSOCOut(
+            irreps_in_node=spre.irreps_node_features,
+            irreps_in_edge=spre.irreps_node_features,
+            nao_max=sout.nao_max, ham_type=sout.ham_type.lower(),
+            soc_basis=soc_basis, add_H0=sout.add_H0, add_H_nonsoc=True,
+            symmetrize=True, zero_point_shift=False)
+
+        sp_rep = srep.init(key, example_graph)
+        sfeats = srep.apply(sp_rep, example_graph)
+        nao = int(sout.nao_max)
+        h0 = (jax.numpy.zeros((example_graph.z.shape[0], nao * nao)),
+              jax.numpy.zeros((example_graph.edge_index.shape[1], nao * nao)))
+        sp_head = shead.init(key, example_graph, sfeats, h_nonsoc=h0)
+        sparams = {"representation": sp_rep["params"],
+                   "output": sp_head["params"]}
+
+        sham = hamiltonian_irreps(get_basis_set(sout.ham_type.lower(), nao))
+        su2 = None
+        if soc_basis == "su2":
+            from ..models.soc import su2_base_irreps
+
+            su2 = su2_base_irreps(get_basis_set(sout.ham_type.lower(), nao))
+        s_assign = map_reference_state(
+            states["soc"], num_types=spre.num_types,
+            irreps_node_features=spre.irreps_node_features,
+            irreps_edge_sh=spre.irreps_edge_sh, num_layers=spre.num_layers,
+            irreps_ham=sham, soc_basis=soc_basis, irreps_ham_su2=su2,
+            nao_max=nao, add_H_nonsoc=True)
+        s_new, s_untouched = assign_params(sparams, s_assign)
+        if s_untouched:
+            raise ValueError(f"unmapped SOC parameters: {s_untouched[:10]}")
+        with open(os.path.join(out_dir, "soc.yaml"), "w") as f:
+            yaml.safe_dump(config_to_dict(soc_config), f)
+        ckptr.save(os.path.abspath(os.path.join(out_dir, "soc_params")),
+                   {"params": s_new}, force=True)
+        ckptr.wait_until_finished()
+        counts["soc"] = len(s_assign)
+    return counts

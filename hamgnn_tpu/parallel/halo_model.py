@@ -68,6 +68,8 @@ def build_halo_inputs(graph: Graph, plan: EdgePartitionPlan) -> Dict[str, np.nda
     def per_edge(a):
         return np.asarray(a)[eid]
 
+    doping = (None if graph.doping_charge is None
+              else np.asarray(graph.doping_charge)[np.asarray(graph.batch)])
     out = {
         # node side, sharded on leading axis
         "z": np.asarray(graph.z),
@@ -75,10 +77,13 @@ def build_halo_inputs(graph: Graph, plan: EdgePartitionPlan) -> Dict[str, np.nda
         "Hon": np.asarray(graph.Hon),
         "Son": None if graph.Son is None else np.asarray(graph.Son),
         "Hon0": None if graph.Hon0 is None else np.asarray(graph.Hon0),
+        "doping_node": doping,
         # edge side, (S, E_loc, ...)
         "edge_vec": per_edge(np.asarray(graph.edge_vectors())),
         "z_src": np.asarray(graph.z)[src][eid],
         "z_dst": np.asarray(graph.z)[dst][eid],
+        "doping_src": None if doping is None else doping[src][eid],
+        "doping_dst": None if doping is None else doping[dst][eid],
         "Hoff": per_edge(graph.Hoff),
         "Soff": None if graph.Soff is None else per_edge(graph.Soff),
         "Hoff0": None if graph.Hoff0 is None else per_edge(graph.Hoff0),
@@ -121,6 +126,13 @@ def make_halo_loss_fn(model, mesh: Mesh,
     """
     rep = model.representation
     out_mod = model.output
+    from ..models.representation import HamGNNConvE3
+
+    if not isinstance(rep, HamGNNConvE3):
+        raise NotImplementedError(
+            f"halo edge-partition training supports the HamGNNConvE3 "
+            f"representation; got {type(rep).__name__} (use data-parallel "
+            f"mode for the transformer)")
     losses = losses or [{"metric": "mae", "prediction": "hamiltonian",
                          "target": "hamiltonian", "loss_weight": 27.211}]
     for spec in losses:
@@ -213,9 +225,22 @@ def make_halo_loss_fn(model, mesh: Mesh,
         z_src, z_dst = sq("z_src"), sq("z_dst")
 
         # --- embeddings (shard-local) --------------------------------
-        onehot_own = jax.nn.one_hot(z_loc, rep.num_types, dtype=dtype)
-        onehot_src = jax.nn.one_hot(z_src, rep.num_types, dtype=dtype)
-        onehot_dst = jax.nn.one_hot(z_dst, rep.num_types, dtype=dtype)
+        # charge-doped one-hot is a per-node function of (z, q): with q
+        # carried per edge endpoint it stays shard-local (no halo exchange)
+        if rep.apply_charge_doping and "doping_node" in inp:
+            from ..models.representation import ChargeDopedOneHot
+
+            emb = ChargeDopedOneHot(
+                num_types=rep.num_types, apply_charge_doping=True,
+                num_charge_attr_feas=rep.num_charge_attr_feas)
+            emb_p = {"params": rp["atomic_embedding"]}
+            onehot_own = emb.apply(emb_p, z_loc, inp["doping_node"])
+            onehot_src = emb.apply(emb_p, z_src, sq("doping_src"))
+            onehot_dst = emb.apply(emb_p, z_dst, sq("doping_dst"))
+        else:
+            onehot_own = jax.nn.one_hot(z_loc, rep.num_types, dtype=dtype)
+            onehot_src = jax.nn.one_hot(z_src, rep.num_types, dtype=dtype)
+            onehot_dst = jax.nn.one_hot(z_dst, rep.num_types, dtype=dtype)
         edge_len = jnp.sqrt(jnp.sum(edge_vec * edge_vec, axis=-1))
         edge_len = jnp.where(edge_mask, edge_len, 1.0)
         edge_sh = spherical_harmonics(sh_ls, edge_vec, normalize=True)
@@ -369,19 +394,32 @@ def make_halo_loss_fn(model, mesh: Mesh,
     return loss_fn
 
 
+def halo_bucket_sizes(graphs: Sequence[Graph], n_shards: int,
+                      edge_quantum: int = 64) -> Tuple[int, int, int]:
+    """Dataset-wide (edge_loc, halo, edge_halo) bucket sizes: the max of the
+    natural plan sizes, so every stacked batch shares ONE jit shape."""
+    nat = [plan_for_graph(g, n_shards, edge_quantum) for g in graphs]
+    return (max(p.edge_id.shape[1] for p in nat),
+            max(p.halo_bucket for p in nat),
+            max(p.edge_halo_bucket for p in nat))
+
+
 def stack_halo_inputs(graphs: Sequence[Graph], n_shards: int,
-                      edge_quantum: int = 64) -> Dict[str, np.ndarray]:
+                      edge_quantum: int = 64,
+                      force_sizes: Optional[Tuple[int, int, int]] = None,
+                      ) -> Dict[str, np.ndarray]:
     """Pack several same-bucket padded graphs for a DP x halo mesh.
 
-    Two passes: natural plans fix the max local-edge/halo bucket sizes, then
-    plans are rebuilt with the forced common sizes (table positions depend on
-    the bucket sizes, so plain padding would corrupt them) and every input is
-    stacked along a leading data axis.
+    Two passes: natural plans fix the max local-edge/halo bucket sizes (or
+    ``force_sizes`` pins them dataset-wide), then plans are rebuilt with the
+    forced common sizes (table positions depend on the bucket sizes, so plain
+    padding would corrupt them) and every input is stacked along a leading
+    data axis.
     """
-    nat = [plan_for_graph(g, n_shards, edge_quantum) for g in graphs]
-    e_loc = max(p.edge_id.shape[1] for p in nat)
-    halo = max(p.halo_bucket for p in nat)
-    ehalo = max(p.edge_halo_bucket for p in nat)
+    if force_sizes is not None:
+        e_loc, halo, ehalo = force_sizes
+    else:
+        e_loc, halo, ehalo = halo_bucket_sizes(graphs, n_shards, edge_quantum)
     packed = []
     for g in graphs:
         plan = make_plan(

@@ -53,6 +53,30 @@ def _build_compat_model(config):
     return HamGNNModel(representation=rep, output=head)
 
 
+def _build_compat_soc_model(config):
+    """e3nn-compat representation + SOC head (add_H_nonsoc two-stage mode)."""
+    from ..interfaces.e3nn_compat import HamGNNConvE3Compat
+    from ..models.model import HamGNNModel
+    from ..models.soc import HamGNNSOCOut
+
+    pre = config.representation_nets.HamGNN_pre
+    out_cfg = config.output_nets.HamGNN_out
+    rep = HamGNNConvE3Compat(
+        num_types=pre.num_types, irreps_edge_sh=pre.irreps_edge_sh,
+        irreps_node_features=pre.irreps_node_features,
+        num_layers=pre.num_layers, num_radial=pre.num_radial,
+        rbf_func=pre.rbf_func.lower(), cutoff=pre.cutoff,
+        radial_mlp=tuple(pre.radial_MLP))
+    head = HamGNNSOCOut(
+        irreps_in_node=pre.irreps_node_features,
+        irreps_in_edge=pre.irreps_node_features,
+        nao_max=out_cfg.nao_max, ham_type=out_cfg.ham_type.lower(),
+        soc_basis=out_cfg.get("soc_basis", "so3"),
+        add_H0=out_cfg.add_H0, add_H_nonsoc=True, symmetrize=True,
+        zero_point_shift=False)
+    return HamGNNModel(representation=rep, output=head)
+
+
 class HamiltonianPredictor:
     """Bundles a non-SOC model and an optional SOC model (add_H_nonsoc)."""
 
@@ -69,7 +93,8 @@ class HamiltonianPredictor:
             self.config_soc = load_config(config_soc_path, overrides={
                 "output_nets": {"HamGNN_out": {
                     "add_H_nonsoc": True, "zero_point_shift": False}}})
-            self.model_soc = build_model(self.config_soc)
+            self.model_soc = (_build_compat_soc_model(self.config_soc)
+                              if compat else build_model(self.config_soc))
             self.params_soc = None
 
     # -- persistence -----------------------------------------------------

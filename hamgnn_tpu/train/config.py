@@ -27,6 +27,16 @@ CONFIG_DEFAULT: Dict[str, Any] = {
         "property": "hamiltonian",
         "stage": "fit",
         "use_gradient_checkpointing": False,
+        # multi-chip strategy (this framework's extension of the reference's
+        # automatic DDP selection, main.py:300-323): none | dp | halo.
+        # dp replicates crystals over the mesh; halo additionally splits each
+        # crystal's edge set n_graph ways (shard_map all_to_all per layer).
+        "parallel": {
+            "mode": "none",
+            "n_data": 0,       # 0 = infer from the device count
+            "n_graph": 0,      # 0 = infer from the device count
+            "edge_quantum": 64,
+        },
     },
     "profiler_params": {"train_dir": "./", "progress_bar_refresh_rat": 1},
     "representation_nets": {

@@ -15,3 +15,25 @@ os.environ["XLA_FLAGS"] = (
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+
+# ---------------------------------------------------------------------------
+# Tiered suite: `pytest tests/` runs the <5-min default subset; the
+# shard_map/distributed/e2e tests (several minutes of XLA compiles each) are
+# marked `slow` and run with `pytest tests/ --runslow` (see README).
+# ---------------------------------------------------------------------------
+import pytest  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption("--runslow", action="store_true", default=False,
+                     help="also run tests marked slow")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow: run with --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

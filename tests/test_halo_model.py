@@ -10,6 +10,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 from jax.sharding import Mesh
 
 from hamgnn_tpu.data.graph import pad_and_batch
@@ -202,3 +204,90 @@ def test_halo_full_model_with_overlap_heads():
     for a, b in zip(flat_h, flat_r):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-5, rtol=5e-4)
+
+
+def test_halo_charge_doping_matches_single_device():
+    """Charge-doped one-hot embedding under the halo partition (doping is
+    per-node data carried per edge endpoint, so it stays shard-local)."""
+    rng = np.random.default_rng(11)
+    crystals = []
+    for i in range(2):
+        c = make_crystal(rng, n_atoms=6, species=(6, 14), cell_size=5.0,
+                         cutoff=4.0)
+        c = add_random_hamiltonian_targets(rng, c, nao_max=14)
+        c["doping_charge"] = np.asarray([0.5 - i], np.float32)
+        crystals.append(c)
+    graph = pad_and_batch(crystals, node_bucket=16, edge_bucket=256)
+
+    rep = HamGNNConvE3(
+        num_types=32, irreps_edge_sh=IRREPS_SH,
+        irreps_node_features=IRREPS_FEAT, num_layers=2, num_radial=8,
+        rbf_func="bessel", cutoff=4.0, radial_mlp=(16,),
+        apply_charge_doping=True, num_charge_attr_feas=4)
+    out = HamGNNPlusPlusOut(
+        irreps_in_node=IRREPS_FEAT, irreps_in_edge=IRREPS_FEAT,
+        nao_max=14, ham_type="openmx", ham_only=True, symmetrize=True,
+        add_H0=True, zero_point_shift=True)
+    model = HamGNNModel(representation=rep, output=out)
+    params = model.init(jax.random.PRNGKey(11), graph)
+
+    n_shards = 4
+    mesh = Mesh(np.array(jax.devices()[:n_shards]), ("graph",))
+    plan = plan_for_graph(graph, n_shards)
+    inputs = shard_halo_inputs(mesh, build_halo_inputs(graph, plan))
+    loss_fn = make_halo_loss_fn(model, mesh, LOSSES)
+    halo_loss, _ = jax.jit(loss_fn)(params, inputs)
+    ref_loss, _ = _single_device_loss(model, params, graph)
+    np.testing.assert_allclose(np.asarray(halo_loss), np.asarray(ref_loss),
+                               rtol=2e-5)
+
+
+def test_halo_trainer_product_path_epoch():
+    """The config-driven HaloTrainer (the CLI's setup.parallel path) runs a
+    train epoch + eval epoch on a dp x halo mesh, reduces the loss over a few
+    epochs, and its eval loss matches the single-device Trainer's on the same
+    parameters."""
+    from hamgnn_tpu.data.dataset import GraphDataModule
+    from hamgnn_tpu.parallel.halo_trainer import HaloDataAdapter, HaloTrainer
+    from hamgnn_tpu.train.trainer import Trainer
+
+    rng = np.random.default_rng(5)
+    crystals = []
+    for _ in range(8):
+        c = make_crystal(rng, n_atoms=5, species=(6, 14), cell_size=5.0,
+                         cutoff=4.0)
+        crystals.append(add_random_hamiltonian_targets(rng, c, nao_max=14))
+
+    rep = HamGNNConvE3(
+        num_types=32, irreps_edge_sh=IRREPS_SH,
+        irreps_node_features=IRREPS_FEAT, num_layers=1, num_radial=8,
+        rbf_func="bessel", cutoff=4.0, radial_mlp=(16,))
+    out = HamGNNPlusPlusOut(
+        irreps_in_node=IRREPS_FEAT, irreps_in_edge=IRREPS_FEAT,
+        nao_max=14, ham_type="openmx", ham_only=True, symmetrize=True,
+        add_H0=True, zero_point_shift=False)
+    model = HamGNNModel(representation=rep, output=out)
+
+    import tempfile
+
+    tmp = tempfile.mkdtemp()
+    dm = GraphDataModule(crystals, batch_size=1, train_ratio=0.5,
+                         val_ratio=0.25, test_ratio=0.25)
+    adapter = HaloDataAdapter(dm, n_data=2, n_graph=4)
+    trainer = HaloTrainer(model, losses=LOSSES, metrics=LOSSES, lr=0.01,
+                          n_data=2, n_graph=4, train_dir=tmp)
+    trainer.init_params(adapter.example_graph())
+
+    losses = [trainer.train_epoch(adapter.train_batches(
+        np.random.default_rng(e))) for e in range(3)]
+    last_val, _ = trainer.eval_epoch(adapter.val_batches())
+    assert np.isfinite(losses).all() and np.isfinite(last_val)
+    assert losses[-1] < losses[0]
+
+    # halo eval == single-device eval with the trained params
+    single = Trainer(model, losses=LOSSES, metrics=LOSSES, train_dir=tmp)
+    single.params = jax.device_put(
+        jax.tree.map(np.asarray, jax.device_get(trainer.params)),
+        jax.devices()[0])
+    sv_loss, _ = single.eval_epoch(dm.val_batches())
+    np.testing.assert_allclose(last_val, float(sv_loss), rtol=2e-4)

@@ -102,6 +102,9 @@ def test_packed_matches_chunked_lite(case):
     np.testing.assert_allclose(a, b, atol=3e-5, rtol=3e-5)
 
 
+@pytest.mark.slow
+
+
 def test_packed_gradients_match():
     irreps_in, irreps_sh, irreps_out, mid, x, sh, w = _setup(*CASES[0])
 

@@ -47,6 +47,9 @@ def test_pallas_forward_no_weight(case):
     np.testing.assert_allclose(a, b, atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.slow
+
+
 def test_pallas_multi_tile_and_padding():
     """E spanning several 128-edge tiles + a ragged tail; dWcat accumulates
     across grid steps."""
@@ -98,6 +101,9 @@ def test_pallas_gradients_no_weight():
     gb = jax.grad(loss_p, argnums=(0, 1, 2))(x, sh, fw)
     for a, b, name in zip(ga, gb, ["dx", "dsh", "dflat_w"]):
         np.testing.assert_allclose(a, b, atol=5e-5, rtol=5e-4, err_msg=name)
+
+
+@pytest.mark.slow
 
 
 def test_pallas_sh_needs_grad_false():

@@ -70,6 +70,8 @@ class TestSharding:
             np.asarray(out["hamiltonian_off"])[0],
             np.asarray(ref["hamiltonian_off"]), atol=2e-5)
 
+    @pytest.mark.slow
+
     def test_dp_times_edge_partition_train_step(self, setup):
         import optax
 
@@ -91,6 +93,8 @@ class TestSharding:
         delta = max(float(jnp.abs(a - b).max())
                     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)))
         assert delta > 0
+
+    @pytest.mark.slow
 
     def test_dp_loss_equals_mean_of_per_graph_losses(self, setup):
         model, graphs, params = setup
@@ -245,6 +249,7 @@ class TestHaloPartition:
 
 
 class TestParallelTrainer:
+    @pytest.mark.slow
     def test_training_reduces_loss(self):
         from hamgnn_tpu.parallel.trainer import ParallelTrainer
 

@@ -71,6 +71,8 @@ class TestRepresentation:
             want = np.asarray(out[key]) @ D.T
             np.testing.assert_allclose(got, want, atol=5e-4)
 
+    @pytest.mark.slow
+
     def test_padding_invariance(self):
         """Extra padding must not change real-node outputs."""
         rng = np.random.default_rng(2)

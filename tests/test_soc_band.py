@@ -118,6 +118,9 @@ def test_spinor_bands_match_dense_scipy():
     np.testing.assert_allclose(np.asarray(band)[0], want, atol=5e-4)
 
 
+@pytest.mark.slow
+
+
 def test_soc_head_band_loss_gradients_flow():
     rng = np.random.default_rng(3)
     c = _soc_crystal(rng)

@@ -70,6 +70,7 @@ class TestConfig:
 
 @pytest.mark.slow
 class TestTraining:
+    @pytest.mark.slow
     def test_overfit_tiny(self, tmp_path):
         cfg = load_config(None, overrides={
             "representation_nets": {"HamGNN_pre": {
@@ -226,6 +227,9 @@ def test_legacy_collinear_repack():
     np.testing.assert_allclose(c["Hoff0"][:, 1], H0d[n:].reshape(e, -1))
     np.testing.assert_allclose(c["Hon"][:, 0], Hu[:n])
     np.testing.assert_allclose(c["Hoff"][:, 1], Hd[n:])
+
+
+@pytest.mark.slow
 
 
 def test_legacy_edge_update_flag():

@@ -38,6 +38,8 @@ class TestTransformer:
         rng = np.random.default_rng(1)
         return pad_and_batch([make_crystal(rng, n_atoms=4)], bucket_multiple=8)
 
+    @pytest.mark.slow
+
     def test_forward_and_equivariance(self, graph):
         model = HamGNNTransformer(
             num_types=20, irreps_edge_sh=SH, irreps_node_features=FEAT,

@@ -28,6 +28,9 @@ def _write_cfg(path, soc):
     path.write_text(yaml.safe_dump(cfg))
 
 
+@pytest.mark.slow
+
+
 def test_two_stage_predictor(tmp_path):
     import jax
 
