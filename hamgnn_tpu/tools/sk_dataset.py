@@ -248,8 +248,113 @@ def min_overlap_eig(data, z, kpts=8, seed=0) -> float:
 _Z_SYMBOL = {14: "Si", 6: "C"}
 
 
-def write_structure_dir(d: str, teacher: SKTeacher, z, pos, cell) -> None:
-    """Write openmx.dat / openmx.scfout / overlap.scfout (H0) for a crystal."""
+def _real_sh_L(l: int) -> np.ndarray:
+    """Im part of the angular-momentum matrices in the REAL spherical-harmonic
+    basis, wiki m-order (-l..l): L_real = U L_complex U^dagger is purely
+    imaginary; returns (2l+1, 2l+1, 3) with the imaginary parts (x, y, z)."""
+    d = 2 * l + 1
+    m = np.arange(-l, l + 1)
+    Lz = np.diag(m).astype(complex)
+    lp = np.zeros((d, d), complex)   # L+ |l,m> = sqrt(l(l+1)-m(m+1)) |l,m+1>
+    for i, mm in enumerate(m[:-1]):
+        lp[i + 1, i] = np.sqrt(l * (l + 1) - mm * (mm + 1))
+    lm = lp.conj().T
+    Lx = 0.5 * (lp + lm)
+    Ly = (lp - lm) / (2j)
+    # complex -> real transform (rows: real index -l..l)
+    U = np.zeros((d, d), complex)
+    U[l, l] = 1.0
+    for mm in range(1, l + 1):
+        U[l + mm, l + mm] = (-1) ** mm / np.sqrt(2)   # cos-type
+        U[l + mm, l - mm] = 1 / np.sqrt(2)
+        U[l - mm, l + mm] = -1j * (-1) ** mm / np.sqrt(2)  # sin-type
+        U[l - mm, l - mm] = 1j / np.sqrt(2)
+    out = np.zeros((d, d, 3))
+    for k, Lc in enumerate((Lx, Ly, Lz)):
+        Lr = U @ Lc @ U.conj().T
+        assert np.abs(Lr.real).max() < 1e-12, "real part must vanish"
+        out[:, :, k] = Lr.imag
+    return out
+
+
+class SOCTerms:
+    """On-site atomic SOC in the model's so3 ksi*L form: exact shell
+    angular-momentum matrices (DFT orbital order) and block-constant
+    per-species ksi couplings — exactly representable by HamGNNSOCOut
+    (models/soc.py so3 branch; reference hamgnn_output.py:3026-3146)."""
+
+    def __init__(self, basis, seed: int = 0, amp: float = 0.05,
+                 zs=(14, 6)):
+        self.nao = basis.nao_max
+        rng = np.random.RandomState(seed + 77)
+        slots = list(basis.orbital_irreps)
+        # internal (wiki-order) block-diagonal L, then permute to DFT order
+        L_int = np.zeros((self.nao, self.nao, 3))
+        o = 0
+        for _, ir in slots:
+            dl = ir.dim
+            if ir.l > 0:
+                L_int[o:o + dl, o:o + dl, :] = _real_sh_L(ir.l)
+            o += dl
+        perm = basis.index_change
+        self.L = L_int[np.ix_(perm, perm)] if perm is not None else L_int
+        # block-constant symmetric ksi per species (only l>0 shell pairs
+        # couple through L; s-blocks get 0 weight via L anyway)
+        self.ksi = {}
+        n_slots = len(slots)
+        bounds = np.cumsum([0] + [ir.dim for _, ir in slots])
+        for zz in zs:
+            kb = amp * rng.uniform(0.4, 1.0, (n_slots, n_slots))
+            kb = 0.5 * (kb + kb.T)
+            k_int = np.zeros((self.nao, self.nao))
+            for i in range(n_slots):
+                for j in range(n_slots):
+                    k_int[bounds[i]:bounds[i + 1], bounds[j]:bounds[j + 1]] = kb[i, j]
+            self.ksi[zz] = (k_int[np.ix_(perm, perm)]
+                            if perm is not None else k_int)
+
+    def spinor_parts(self, z, Hs_on, Hs_off):
+        """Model-exact so3 assembly (on-site SOC only; Loff = 0):
+        returns (Hr_on, Hi_on, Hr_off, Hi_off, Lon) full-nao blocks."""
+        nao = self.nao
+        n = len(Hs_on)
+        Lon = np.broadcast_to(self.L, (n, nao, nao, 3)).copy()
+        ksi = np.stack([self.ksi[int(zz)] for zz in z])
+
+        def asym(x):
+            return 0.5 * (x - np.transpose(x, (0, 2, 1)))
+
+        kx = asym(ksi * Lon[..., 0])
+        ky = asym(ksi * Lon[..., 1])
+        kz = asym(ksi * Lon[..., 2])
+        Hr_on = np.zeros((n, 2 * nao, 2 * nao))
+        Hi_on = np.zeros((n, 2 * nao, 2 * nao))
+        Hs_on = np.asarray(Hs_on)
+        Hr_on[:, :nao, :nao] = Hs_on
+        Hr_on[:, nao:, nao:] = Hs_on
+        Hr_on[:, :nao, nao:] = ky
+        Hr_on[:, nao:, :nao] = ky
+        Hi_on[:, :nao, :nao] = kz
+        Hi_on[:, nao:, nao:] = -kz
+        Hi_on[:, :nao, nao:] = kx
+        Hi_on[:, nao:, :nao] = -kx
+
+        e = len(Hs_off)
+        Hs_off = np.asarray(Hs_off)
+        Hr_off = np.zeros((e, 2 * nao, 2 * nao))
+        Hi_off = np.zeros((e, 2 * nao, 2 * nao))
+        Hr_off[:, :nao, :nao] = Hs_off
+        Hr_off[:, nao:, nao:] = Hs_off
+        return Hr_on, Hi_on, Hr_off, Hi_off, Lon
+
+
+def write_structure_dir(d: str, teacher: SKTeacher, z, pos, cell,
+                        soc: "SOCTerms" = None) -> None:
+    """Write openmx.dat / openmx.scfout / overlap.scfout (H0) for a crystal.
+
+    With ``soc``, the .scfout files carry SpinP_switch=3 non-collinear data:
+    spin components (uu, dd, ud_re, ud_im) + iHks (im_uu, im_dd, 0) and the
+    OLP_L angular-momentum matrices, exactly as openmx_postprocess would."""
     os.makedirs(d, exist_ok=True)
     data = teacher.build(z, pos, cell)
     common = dict(
@@ -259,10 +364,68 @@ def write_structure_dir(d: str, teacher: SKTeacher, z, pos, cell) -> None:
         Son=data["Son"], Soff=data["Soff"],
         valence_electrons=data["valence"],
     )
-    write_scfout(os.path.join(d, "openmx.scfout"),
-                 Hon=[data["Hon"]], Hoff=[data["Hoff"]], **common)
-    write_scfout(os.path.join(d, "overlap.scfout"),
-                 Hon=[data["H0on"]], Hoff=[data["H0off"]], **common)
+    if soc is not None:
+        bd = teacher.basis.basis_def
+        src, dst = data["edge_src"], data["edge_dst"]
+
+        def full(blocks, zrow, zcol):
+            """valid-orbital blocks -> full-nao blocks (zero-padded)."""
+            out = np.zeros((len(blocks), teacher.nao, teacher.nao))
+            for k, (b, zr, zc) in enumerate(zip(blocks, zrow, zcol)):
+                out[k][np.ix_(bd[int(zr)], bd[int(zc)])] = b
+            return out
+
+        def spin_valid(Hr, Hi, zrow, zcol, Lon=None):
+            """full (2nao)x(2nao) blocks -> scfout spin-component lists of
+            valid-orbital blocks."""
+            nao = teacher.nao
+            uu, dd = Hr[:, :nao, :nao], Hr[:, nao:, nao:]
+            udr, udi = Hr[:, :nao, nao:], Hi[:, :nao, nao:]
+            iuu, idd = Hi[:, :nao, :nao], Hi[:, nao:, nao:]
+
+            def valid(blocks):
+                return [np.ascontiguousarray(b[np.ix_(bd[int(zr)], bd[int(zc)])])
+                        for b, zr, zc in zip(blocks, zrow, zcol)]
+
+            Hks = [valid(uu), valid(dd), valid(udr), valid(udi)]
+            iHks = [valid(iuu), valid(idd),
+                    [np.zeros_like(v) for v in valid(udi)]]
+            Lv = None
+            if Lon is not None:
+                Lv = [np.ascontiguousarray(
+                    Lon[k][np.ix_(bd[int(zr)], bd[int(zc)])])
+                    for k, (zr, zc) in enumerate(zip(zrow, zcol))]
+            return Hks, iHks, Lv
+
+        Hs_on = full(data["Hon"], z, z)
+        Hs_off = full(data["Hoff"], z[src], z[dst])
+        H0s_on = full(data["H0on"], z, z)
+        H0s_off = full(data["H0off"], z[src], z[dst])
+        Hr_on, Hi_on, Hr_off, Hi_off, Lon = soc.spinor_parts(z, Hs_on, Hs_off)
+        H0r_on, H0i_on, H0r_off, H0i_off, _ = soc.spinor_parts(
+            z, H0s_on, H0s_off)
+        # H0 carries NO SOC: spatial diag only
+        H0i_on[:] = 0.0
+        H0r_on[:, : teacher.nao, teacher.nao:] = 0.0
+        H0r_on[:, teacher.nao:, : teacher.nao] = 0.0
+
+        Hks_on, iHks_on, Lv = spin_valid(Hr_on, Hi_on, z, z, Lon)
+        Hks_off, iHks_off, _ = spin_valid(Hr_off, Hi_off, z[src], z[dst])
+        H0ks_on, iH0ks_on, _ = spin_valid(H0r_on, H0i_on, z, z, Lon)
+        H0ks_off, iH0ks_off, _ = spin_valid(H0r_off, H0i_off, z[src], z[dst])
+        Loff_zero = [np.zeros((len(bd[int(a)]), len(bd[int(b)]), 3))
+                     for a, b in zip(z[src], z[dst])]
+        write_scfout(os.path.join(d, "openmx.scfout"),
+                     Hon=Hks_on, Hoff=Hks_off, iHon=iHks_on, iHoff=iHks_off,
+                     Lon=Lv, Loff=Loff_zero, **common)
+        write_scfout(os.path.join(d, "overlap.scfout"),
+                     Hon=H0ks_on, Hoff=H0ks_off, iHon=iH0ks_on,
+                     iHoff=iH0ks_off, Lon=Lv, Loff=Loff_zero, **common)
+    else:
+        write_scfout(os.path.join(d, "openmx.scfout"),
+                     Hon=[data["Hon"]], Hoff=[data["Hoff"]], **common)
+        write_scfout(os.path.join(d, "overlap.scfout"),
+                     Hon=[data["H0on"]], Hoff=[data["H0off"]], **common)
     cell_ang, pos_ang = cell * AU2ANG, pos * AU2ANG
     # trailing comment required: the graph_data_gen lattice regex (same as the
     # reference's pattern_latt, utils.py:768) needs >=1 char after the tag
@@ -300,9 +463,13 @@ def main(argv=None):
     ap.add_argument("--nao-max", type=int, default=14)
     ap.add_argument("--band-set", action="store_true",
                     help="also write pristine (unrattled) prediction structures")
+    ap.add_argument("--soc", action="store_true",
+                    help="add an on-site atomic SOC term (so3 ksi*L form) and "
+                         "write SpinP_switch=3 non-collinear scfout files")
     args = ap.parse_args(argv)
 
     teacher = SKTeacher(nao_max=args.nao_max, seed=args.seed)
+    soc = SOCTerms(teacher.basis, seed=args.seed) if args.soc else None
     protos = {
         "si": _fcc_primitive(A_SI, 14, 14),
         "c": _fcc_primitive(A_C, 6, 6),
@@ -320,7 +487,8 @@ def main(argv=None):
         for _ in range(count):
             cell, pos, z = rattled(rng, protos[name])
             write_structure_dir(
-                os.path.join(args.out, f"struct_{idx:04d}"), teacher, z, pos, cell)
+                os.path.join(args.out, f"struct_{idx:04d}"), teacher, z, pos,
+                cell, soc=soc)
             idx += 1
     print(f"wrote {idx} structures under {args.out}")
 
@@ -329,7 +497,7 @@ def main(argv=None):
             cell, pos, z = proto
             write_structure_dir(
                 os.path.join(args.out + "_band", f"pristine_{name}"),
-                teacher, z, pos, cell)
+                teacher, z, pos, cell, soc=soc)
         print(f"wrote pristine band-test structures under {args.out}_band")
 
 

@@ -369,3 +369,104 @@ def test_multihost_helpers_single_process():
                              "mae": np.ones((3,), np.float32)})
     assert out["loss"].shape == (1,)
     assert out["mae"].shape == (1, 3)
+
+
+_TWO_PROC_HALO_SCRIPT = """
+import json, os, sys
+import numpy as np
+pid = int(sys.argv[1]); port = sys.argv[2]; out = sys.argv[3]
+repo_root = sys.argv[4]
+sys.path.insert(0, repo_root)
+sys.path.insert(0, os.path.join(repo_root, "tests"))
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+from hamgnn_tpu.parallel.multihost import maybe_initialize_distributed
+ok = maybe_initialize_distributed(coordinator=f"localhost:{port}",
+                                  num_processes=2, process_id=pid)
+assert ok and jax.device_count() == 4, (ok, jax.device_count())
+
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from util_fixtures import add_random_hamiltonian_targets, make_crystal
+from hamgnn_tpu.data.graph import pad_and_batch
+from hamgnn_tpu.models.model import HamGNNModel, compute_losses
+from hamgnn_tpu.models.output import HamGNNPlusPlusOut
+from hamgnn_tpu.models.representation import HamGNNConvE3
+from hamgnn_tpu.parallel.halo_model import (
+    build_halo_inputs, make_halo_loss_fn, plan_for_graph)
+
+FEAT = "8x0e+4x1o+2x2e"
+SH = "0e + 1o + 2e"
+rng = np.random.default_rng(0)
+c = make_crystal(rng, n_atoms=6, species=(6, 14), cell_size=5.0, cutoff=4.0)
+c = add_random_hamiltonian_targets(rng, c, nao_max=14)
+graph = pad_and_batch([c], node_bucket=8, edge_bucket=128)
+rep = HamGNNConvE3(num_types=32, irreps_edge_sh=SH,
+                   irreps_node_features=FEAT, num_layers=1, num_radial=8,
+                   rbf_func="bessel", cutoff=4.0, radial_mlp=(8,))
+outm = HamGNNPlusPlusOut(irreps_in_node=FEAT, irreps_in_edge=FEAT,
+                         nao_max=14, ham_type="openmx", ham_only=True,
+                         symmetrize=True, add_H0=True, zero_point_shift=True)
+model = HamGNNModel(representation=rep, output=outm)
+params = model.init(jax.random.PRNGKey(0), graph)
+
+n_shards = 4
+devices = np.array(jax.devices())       # 4 global devices over 2 processes
+mesh = Mesh(devices, ("graph",))
+plan = plan_for_graph(graph, n_shards)
+inputs = build_halo_inputs(graph, plan)
+sh = NamedSharding(mesh, P("graph"))
+inputs = {k: jax.device_put(np.asarray(v), sh) for k, v in inputs.items()}
+params_g = jax.device_put(params, NamedSharding(mesh, P()))
+
+LOSSES = [{"metric": "mae", "prediction": "hamiltonian",
+           "target": "hamiltonian", "loss_weight": 27.211}]
+loss_fn = make_halo_loss_fn(model, mesh, LOSSES)
+halo_loss, logs = jax.jit(loss_fn)(params_g, inputs)
+halo_loss = float(np.asarray(jax.device_get(halo_loss)))
+
+# single-process reference on the local default device
+ref_loss, _ = compute_losses(model.apply(params, graph), graph, LOSSES)
+ref_loss = float(ref_loss)
+json.dump({"halo": halo_loss, "ref": ref_loss}, open(out, "w"))
+"""
+
+
+@pytest.mark.slow
+def test_halo_train_step_across_two_processes(tmp_path):
+    """The halo shard_map loss crosses a REAL process boundary: 2 processes x
+    2 local CPU devices form the 4-way 'graph' mesh (gloo collectives); the
+    all_to_all halo exchanges span processes and the loss equals the
+    single-device loss on both ranks."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    script = tmp_path / "halo_worker.py"
+    script.write_text(_TWO_PROC_HALO_SCRIPT)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "JAX_PLATFORMS": "cpu",
+           "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+           "PYTHONPATH": repo_root + os.pathsep + os.environ.get("PYTHONPATH", "")}
+    env.pop("JAX_COORDINATOR_ADDRESS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i), str(port),
+             str(tmp_path / f"halo{i}.json"), repo_root],
+            env=env, cwd=repo_root,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(2)]
+    outs = []
+    for p in procs:
+        stdout, _ = p.communicate(timeout=1500)
+        outs.append(stdout.decode(errors="replace"))
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o[-3000:]
+    for i in range(2):
+        r = json.load(open(tmp_path / f"halo{i}.json"))
+        np.testing.assert_allclose(r["halo"], r["ref"], rtol=2e-5)
