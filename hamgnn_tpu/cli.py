@@ -284,6 +284,29 @@ def _save_predictions(config, preds_all) -> None:
         return
     out_dir = config.profiler_params.train_dir
     os.makedirs(out_dir, exist_ok=True)
+    # SOC heads export real/imag spinor rows (reference saves real||imag,
+    # hamgnn_output.py:3616-3626; here as two .npy files)
+    soc_r, soc_i, soc_rt, soc_it = [], [], [], []
+    for g, p in preds_all:
+        if "hamiltonian_real_on" in p:
+            soc_r.append(concatenate_by_crystal(
+                g, p["hamiltonian_real_on"], p["hamiltonian_real_off"]))
+            soc_i.append(concatenate_by_crystal(
+                g, p["hamiltonian_imag_on"], p["hamiltonian_imag_off"]))
+            soc_rt.append(concatenate_by_crystal(
+                g, np.asarray(g.Hon), np.asarray(g.Hoff)))
+            soc_it.append(concatenate_by_crystal(
+                g, np.asarray(g.iHon), np.asarray(g.iHoff)))
+    if soc_r:
+        np.save(os.path.join(out_dir, "prediction_hamiltonian_real.npy"),
+                np.concatenate(soc_r, axis=0))
+        np.save(os.path.join(out_dir, "prediction_hamiltonian_imag.npy"),
+                np.concatenate(soc_i, axis=0))
+        np.save(os.path.join(out_dir, "target_hamiltonian_real.npy"),
+                np.concatenate(soc_rt, axis=0))
+        np.save(os.path.join(out_dir, "target_hamiltonian_imag.npy"),
+                np.concatenate(soc_it, axis=0))
+        return
     preds, targets = [], []
     for g, p in preds_all:
         if "hamiltonian_on" not in p:
