@@ -262,6 +262,12 @@ def train_and_evaluate(config) -> None:
     if config.setup.stage == "test" or config.setup.get("load_from_checkpoint"):
         if ckpt_path and os.path.exists(ckpt_path):
             trainer.load_checkpoint(ckpt_path)
+            if (config.setup.stage == "fit"
+                    and not config.setup.get("resume", False)):
+                # warm start (reference secondary training, README.md:270-280):
+                # fresh LR schedule at the configured rate; `resume: true`
+                # keeps the checkpointed LR instead
+                trainer.sched.lr = float(config.optim_params.lr)
 
     if config.setup.stage == "fit":
         trainer.fit(data)

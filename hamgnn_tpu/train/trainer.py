@@ -280,7 +280,14 @@ class Trainer:
             aggs.append({**logs, **mets})  # device scalars; sync once below
             n += 1
             if collect:
-                preds_all.append((g, jax.tree.map(np.asarray, preds)))
+                # complex leaves (spinor wavefunctions, H(k)/S(k) exports)
+                # are dropped from the host collection: the axon-tunneled
+                # TPU backend cannot transfer complex arrays (UNIMPLEMENTED)
+                # and prediction export only consumes the real rows
+                preds_all.append((g, {
+                    k: np.asarray(v) for k, v in preds.items()
+                    if not jnp.iscomplexobj(v)
+                }))
         losses, aggs = jax.device_get((losses, aggs))
         agg: Dict[str, float] = {}
         for d in aggs:
