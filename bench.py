@@ -39,6 +39,12 @@ import numpy as np
 # uplift; see module docstring + tools_dev/torch_baseline.py)
 IMPLIED_PYTORCH_GPU_EDGES_PER_S = 3_900.0
 
+# the driver's original north-star denominator (BASELINE.md: "5x a 10k
+# edges/s PyTorch-GPU assumption" = 50k edges/s).  Reported alongside the
+# implied-GPU ratio so the round-over-round series stays comparable
+# (BENCH_r01/r02 used this denominator).
+NORTH_STAR_EDGES_PER_S = 50_000.0
+
 
 def build_bench_case(n_atoms=512, cutoff=6.0):
     from util_fixtures import add_random_hamiltonian_targets, make_crystal
@@ -59,7 +65,14 @@ def build_bench_case(n_atoms=512, cutoff=6.0):
     return graph, n_edges
 
 
-def main():
+def build_step():
+    """Build the jitted bench train step + its inputs at the bench shape.
+
+    Shared with tools_dev/bench_smoke.py, which AOT-compiles exactly this
+    step so kernel changes cannot silently break the headline benchmark
+    (round-3 lesson: a VMEM-OOM kernel schedule shipped without an
+    end-to-end compile check).
+    """
     import jax
 
     # persistent compile cache: repeated bench/driver runs skip XLA compilation
@@ -118,6 +131,11 @@ def main():
         return unravel(pflat + updates * lr), opt_state2, total
 
     lr = jnp.asarray(1e-3, jnp.float32)
+    return step, params, opt_state, graph, lr, n_edges
+
+
+def main():
+    step, params, opt_state, graph, lr, n_edges = build_step()
 
     # trace-derived device time: wall-clock over the remote transport dedupes
     # repeated identical executions and wildly over-reports throughput; the
@@ -136,6 +154,7 @@ def main():
         "value": round(edges_per_s, 1),
         "unit": "edges/s",
         "vs_baseline": round(edges_per_s / IMPLIED_PYTORCH_GPU_EDGES_PER_S, 3),
+        "vs_north_star_50k": round(edges_per_s / NORTH_STAR_EDGES_PER_S, 3),
     }))
 
 

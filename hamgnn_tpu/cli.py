@@ -78,12 +78,15 @@ def _band_control_kwargs(out) -> dict:
     int -> window of that many bands either side of half filling.
     dict {Z: count} -> per-species counts; the head exports the lowest
     ``max_bands`` (config key, default 32) bands plus a per-crystal mask.
-    Float mode (fraction of the half-filling index, :1945-1946) has no
-    static-shape equivalent and is rejected explicitly.
+    Any other value (e.g. float fractional window) is warn-and-ignored,
+    matching the reference's silent ``band_num_control = None`` fallback
+    (hamgnn_output.py:826-830) so reference YAMLs never crash here.
     """
     bnc = out.get("band_num_control", 8)
     if bnc is None:
         bnc = 8
+    if isinstance(bnc, bool):
+        bnc = 8  # bool is an int subclass; treat as unset
     if isinstance(bnc, int):
         return {"band_num_control": bnc}
     if isinstance(bnc, dict):
@@ -92,9 +95,14 @@ def _band_control_kwargs(out) -> dict:
             "band_num_control": int(out.get("max_bands", 32)),
             "band_species_counts": counts,
         }
-    raise NotImplementedError(
-        f"band_num_control={bnc!r}: float (fractional window) mode needs "
-        "dynamic shapes; use an int window or a per-species dict")
+    import warnings
+
+    warnings.warn(
+        f"band_num_control={bnc!r}: only int / per-species dict are "
+        "supported; disabling the band window (reference parity: "
+        "hamgnn_output.py:826-830 sets band_num_control=None)",
+        stacklevel=2)
+    return {"band_num_control": int(out.get("max_bands", 32))}
 
 
 def _freeze_k_path(spec):
@@ -123,6 +131,14 @@ def _attach_head(config, rep) -> HamGNNModel:
             add_H0=out.add_H0,
             symmetrize=out.symmetrize,
             nonlinearity_type=out.get("nonlinearity_type", "gate"),
+            calculate_band_energy=out.get("calculate_band_energy", False),
+            num_k=out.get("num_k", 5),
+            band_num_control=(out.get("band_num_control", 8)
+                              if isinstance(out.get("band_num_control", 8), int)
+                              and not isinstance(out.get("band_num_control", 8), bool)
+                              else 8),
+            k_path=_freeze_k_path(out.get("k_path", None)),
+            export_reciprocal_values=out.get("export_reciprocal_values", False),
         )
         return HamGNNModel(representation=rep, output=head)
     if soc:

@@ -125,13 +125,6 @@ def _auto_tile(words_per_row, budget, cap=1024):
     return te
 
 
-def _v2_mode() -> bool:
-    """v2 (m3-merged block-diagonal) kernel schedule; HAMGNN_TP_V2=0 reverts
-    to the per-m3 v1 schedule.  Read at trace time."""
-    return os.environ.get("HAMGNN_TP_V2", "1").lower() not in (
-        "0", "off", "false")
-
-
 def use_pallas() -> bool:
     eng = os.environ.get("HAMGNN_TP_ENGINE", "auto")
     if eng == "pallas":
@@ -286,71 +279,6 @@ class PallasSpec:
                           perm, fan_rows))
         self.wcat_build = build
 
-        # ---- v2 (m3-merged) schedule ---------------------------------
-        # Device traces show the kernels are substantially per-op
-        # latency-bound, not VPU-throughput-bound: the edge pipeline (half
-        # the arithmetic of node, same op structure) measures SLOWER forward
-        # (kbench 4.58 vs 3.89 ms at E=19968).  The v2 schedule replaces the
-        # per-m3 narrow slices/concats/dots with:
-        #   * one whole-mid radial scale per chunk (lane-dense multiply
-        #     against a per-group d3-tiled weight vector),
-        #   * one block-diagonal MXU dot per (out chunk, source) covering all
-        #     m3 at once: contiguous mid slice [TE, d3*ncm] x
-        #     kron(I_d3, Wsrc) -> [TE, d3*V], accumulated per out chunk.
-        # The kron lives in a host-built Wcat_bd buffer (build_wcat_bd); its
-        # structural zeros also absorb 8-alignment pad rows, which the lhs
-        # covers by over-slicing into the next group's (zero-multiplied)
-        # lanes — no per-source pad ops in the kernel.
-        self.scale_spans = []   # per chunk g: list of (k0mul, ncm, d3, cb)
-        for g, (sl, mul, d1, C, groups) in enumerate(plan.per_chunk):
-            spans = []
-            for gi, (ir3, n_cols, k0, k1) in enumerate(groups):
-                spans.append((k0 * mul, n_cols * mul, ir3.dim,
-                              plan._grp_w_base[(g, gi)]))
-            self.scale_spans.append(spans)
-
-        self.Vbd = max((mio.ir.dim * mio.mul for mio in irreps_out),
-                       default=1)
-        rows_bd = 0
-        sched2 = []   # (k_out, b, d3, V, [(g, k0mul, ncm, rows8, r0bd)])
-        wcat_bd_build = []  # (ofs, fan_in, V, scale, [(row_perm, d3, rows8)])
-        for k_out, mio in enumerate(irreps_out):
-            fan_in, ofs = plan.out_plans[k_out]
-            if fan_in == 0:
-                continue
-            scale = 1.0 / np.sqrt(fan_in)
-            d3, V = mio.ir.dim, mio.mul
-            srcs2 = []
-            bsrc = []
-            for (g, gi, row_perm) in plan.out_sources[k_out]:
-                sl, mul, d1, C, groups = plan.per_chunk[g]
-                ir3, n_cols, k0, k1 = groups[gi]
-                ncm = n_cols * mul
-                rows8 = (d3 * ncm + 7) // 8 * 8
-                srcs2.append((g, k0 * mul, ncm, rows8, rows_bd))
-                bsrc.append((np.asarray(row_perm, np.int32), d3, rows8))
-                rows_bd += rows8
-            sched2.append((k_out, self.out_bases[k_out], d3, V, tuple(srcs2)))
-            wcat_bd_build.append((ofs, fan_in, V, scale, bsrc))
-        self.sched2 = sched2
-        self.n_rows_bd = max(rows_bd, 8)
-        self.wcat_bd_build = wcat_bd_build
-        # per-chunk zero-lane padding so the last group's rows8 over-slice
-        # stays in bounds
-        mid_pad = []
-        for g, (ofs_m, mul, d1, K, crofs) in enumerate(self.chunks):
-            need = 0
-            for (k0mul, ncm, d3, cb) in self.scale_spans[g]:
-                rows8 = 0
-                # find rows8 from sched2 (same (g, k0mul) key)
-                for (_k, _b, dd3, _V, srcs2) in sched2:
-                    for (gg, kk0, nn, r8, _r0) in srcs2:
-                        if gg == g and kk0 == k0mul and nn == ncm:
-                            rows8 = max(rows8, r8)
-                need = max(need, k0mul + rows8)
-            mid_pad.append(max(0, need - K * mul))
-        self.mid_pad = mid_pad
-
         # ---- per-plan tile sizes from the VMEM working set (fp32 words/row)
         midw = sum(K * mul for (_o, mul, _d, K, _c) in chunks)
         max_wrep = max((d1 * K * mul for (_o, mul, d1, K, _c) in chunks),
@@ -381,40 +309,6 @@ class PallasSpec:
             blocks.append(Wp)
         return (jnp.concatenate(blocks, axis=0) if blocks
                 else jnp.zeros((self.n_rows, self.Vmax), jnp.float32))
-
-    # ------------------------------------------------------------------
-    def build_wcat_bd(self, flat_w):
-        """Block-diagonal (m3-merged) Linear weight for the v2 schedule.
-
-        Per (out chunk, source): kron(I_d3, Wsrc*scale) with rows 8-padded
-        and columns padded to Vbd, stacked on rows.  Structural zeros make
-        the kernel's over-sliced lhs lanes and pad rows inert; XLA AD of
-        this build routes dwcat_bd back to flat_w (extracting the diagonal
-        blocks, ignoring the off-diagonal cotangent garbage the backward
-        kernel's full-matrix dot writes there).
-        """
-        if flat_w is None:
-            return jnp.zeros((self.n_rows_bd, self.Vbd), jnp.float32)
-        fw = flat_w.astype(jnp.float32)
-        blocks = []
-        for (ofs, fan_in, V, scale, bsrc) in self.wcat_bd_build:
-            W2 = fw[ofs : ofs + fan_in * V].reshape(fan_in, V)
-            for (row_perm, d3, rows8) in bsrc:
-                Wp = jnp.take(W2, jnp.asarray(row_perm), axis=0) * scale
-                ncm = row_perm.shape[0]
-                # kron(I_d3, Wp): (d3*ncm, d3*V)
-                bd = (jnp.eye(d3, dtype=jnp.float32)[:, None, :, None]
-                      * Wp[None, :, None, :]).reshape(d3 * ncm, d3 * V)
-                pr, pc = rows8 - d3 * ncm, self.Vbd - d3 * V
-                if pr or pc:
-                    bd = jnp.pad(bd, ((0, pr), (0, pc)))
-                blocks.append(bd)
-        if not blocks:
-            return jnp.zeros((self.n_rows_bd, self.Vbd), jnp.float32)
-        out = jnp.concatenate(blocks, axis=0)
-        if out.shape[0] < self.n_rows_bd:
-            out = jnp.pad(out, ((0, self.n_rows_bd - out.shape[0]), (0, 0)))
-        return out
 
     # ------------------------------------------------------------------
     def _mids(self, x_ref, sh, crep_ref, interpret, bf16=False):
@@ -481,138 +375,6 @@ class PallasSpec:
             b = self.out_bases[k_out]
             out_ref[:, b : b + mio.dim] = jnp.zeros(
                 (x_ref.shape[0], mio.dim), f32)
-
-    # ------------------------------------------------------------------
-    def _scaled_mids(self, mids, w_ref, interpret):
-        """Radial-scaled mids, whole chunk at once (v2 schedule).
-
-        Returns ({g: mid*w_tiled, width K*mul+mid_pad}, {g: w_tiled}).  The
-        d3-tiled weight vector per chunk is one concat of per-group
-        pltpu.repeat spans followed by a single lane-dense multiply — no
-        per-m3 ops.
-        """
-        smids, wtiles = {}, {}
-        for g, (ofs_m, mul, d1, K, crofs) in enumerate(self.chunks):
-            if K == 0:
-                continue
-            midf = mids[g]
-            pad = self.mid_pad[g]
-            if pad:
-                midf = jnp.concatenate(
-                    [midf, jnp.zeros((midf.shape[0], pad), midf.dtype)],
-                    axis=1)
-            if w_ref is None:
-                smids[g] = midf
-                wtiles[g] = None
-                continue
-            pieces = [
-                _tile_lanes(w_ref[:, cb : cb + ncm], d3, interpret)
-                for (k0mul, ncm, d3, cb) in self.scale_spans[g]
-            ]
-            wt = (jnp.concatenate(pieces, axis=1) if len(pieces) > 1
-                  else pieces[0])
-            if pad:
-                wt = jnp.concatenate(
-                    [wt, jnp.zeros((wt.shape[0], pad), wt.dtype)], axis=1)
-            smids[g] = midf * wt
-            wtiles[g] = wt
-        return smids, wtiles
-
-    def _fwd_body_v2(self, x_ref, sh_ref, w_ref, wcat_ref, crep_ref, out_ref,
-                     interpret):
-        f32 = jnp.float32
-        bf16 = _bf16_mode() == "all"
-        mids = self._mids(x_ref, sh_ref[:], crep_ref, interpret, bf16)
-        smids, _ = self._scaled_mids(mids, w_ref, interpret)
-
-        for (k_out, b, d3, V, srcs2) in self.sched2:
-            acc = None
-            for (g, k0mul, ncm, rows8, r0bd) in srcs2:
-                BLK = smids[g][:, k0mul : k0mul + rows8]
-                y = _mxu_dot(BLK, wcat_ref[r0bd : r0bd + rows8, : d3 * V],
-                             bf16)
-                acc = y if acc is None else acc + y
-            out_ref[:, b : b + d3 * V] = (
-                acc if acc is not None
-                else jnp.zeros((x_ref.shape[0], d3 * V), f32))
-
-        covered = {k_out for (k_out, *_r) in self.sched2}
-        for k_out, mio in enumerate(self.plan.irreps_out):
-            if k_out in covered:
-                continue
-            b = self.out_bases[k_out]
-            out_ref[:, b : b + mio.dim] = jnp.zeros(
-                (x_ref.shape[0], mio.dim), f32)
-
-    def _bwd_body_v2(self, x_ref, sh_ref, w_ref, wcat_ref, crep_ref, g_ref,
-                     dx_ref, dsh_ref, dw_ref, dwcat_ref, interpret,
-                     need_dsh=True):
-        f32 = jnp.float32
-
-        @pl.when(pl.program_id(0) == 0)
-        def _init():
-            dwcat_ref[:] = jnp.zeros_like(dwcat_ref)
-
-        sh = sh_ref[:]
-        bf16 = _bf16_mode() in ("bwd", "all")
-        mids = self._mids(x_ref, sh, crep_ref, interpret, bf16)
-        smids, wtiles = self._scaled_mids(mids, w_ref, interpret)
-
-        # per-source cotangents of the scaled mid, keyed (g, k0mul);
-        # accumulated because duplicate out irreps can share a source group
-        dparts = {}
-        for (k_out, b, d3, V, srcs2) in self.sched2:
-            gy = g_ref[:, b : b + d3 * V]
-            for (g, k0mul, ncm, rows8, r0bd) in srcs2:
-                BLK = smids[g][:, k0mul : k0mul + rows8]
-                dwr = _mxu_dot_general(BLK, gy, (((0,), (0,)), ((), ())),
-                                       bf16)
-                dwcat_ref[r0bd : r0bd + rows8, : d3 * V] += dwr
-                dBLK = _mxu_dot_general(
-                    gy, wcat_ref[r0bd : r0bd + rows8, : d3 * V],
-                    (((1,), (1,)), ((), ())), bf16)[:, : d3 * ncm]
-                km = (g, k0mul)
-                dparts[km] = (dBLK if km not in dparts
-                              else dparts[km] + dBLK)
-
-        dx_ref[:] = jnp.zeros_like(dx_ref)
-        if dw_ref is not None:
-            dw_ref[:] = jnp.zeros_like(dw_ref)
-        dsh = None
-        E = x_ref.shape[0]
-        for g, (ofs_m, mul, d1, K, crofs) in enumerate(self.chunks):
-            if K == 0:
-                continue
-            pieces = []
-            for (k0mul, ncm, d3, cb) in self.scale_spans[g]:
-                v = dparts.get((g, k0mul))
-                pieces.append(v if v is not None
-                              else jnp.zeros((E, d3 * ncm), f32))
-            dsmid = (jnp.concatenate(pieces, axis=1) if len(pieces) > 1
-                     else pieces[0])
-            if w_ref is not None:
-                prod = dsmid * mids[g]
-                for (k0mul, ncm, d3, cb) in self.scale_spans[g]:
-                    dw_ref[:, cb : cb + ncm] = _tree_ksum(
-                        prod[:, k0mul : k0mul + d3 * ncm], d3, ncm)
-                dmidf = dsmid * wtiles[g][:, : K * mul]
-            else:
-                dmidf = dsmid
-
-            for i in range(d1):
-                cslice = crep_ref[
-                    :, crofs + i * K * mul : crofs + (i + 1) * K * mul]
-                W_rep = _mxu_dot(sh, cslice, bf16)
-                dx_ref[:, ofs_m + i * mul : ofs_m + (i + 1) * mul] = (
-                    _tree_ksum(dmidf * W_rep, K, mul))
-                if need_dsh:
-                    xi = x_ref[:, ofs_m + i * mul : ofs_m + (i + 1) * mul]
-                    B = _tile_lanes(xi, K, interpret)
-                    ds = _mxu_dot_general(
-                        dmidf * B, cslice, (((1,), (1,)), ((), ())), bf16)
-                    dsh = ds if dsh is None else dsh + ds
-        dsh_ref[:] = (dsh if dsh is not None
-                      else jnp.zeros_like(dsh_ref[:]))
 
     # ------------------------------------------------------------------
     def _bwd_body(self, x_ref, sh_ref, w_ref, wcat_ref, crep_ref, g_ref,
@@ -769,8 +531,7 @@ def _fwd_call(spec: PallasSpec, x_m, sh, w, wcat, interpret):
         else:
             x_ref, sh_ref, wcat_ref, crep_ref, out_ref = refs
             w_ref = None
-        fb = spec._fwd_body_v2 if _v2_mode() else spec._fwd_body
-        fb(x_ref, sh_ref, w_ref, wcat_ref, crep_ref, out_ref, interpret)
+        spec._fwd_body(x_ref, sh_ref, w_ref, wcat_ref, crep_ref, out_ref, interpret)
 
     ematch = lambda i: (i, 0)  # noqa: E731
     const = lambda i: (0, 0)  # noqa: E731
@@ -815,8 +576,7 @@ def _bwd_call(spec: PallasSpec, x_m, sh, w, wcat, gout, interpret,
             (x_ref, sh_ref, wcat_ref, crep_ref, g_ref,
              dx_ref, dsh_ref, dwcat_ref) = refs
             w_ref, dw_ref = None, None
-        bb = spec._bwd_body_v2 if _v2_mode() else spec._bwd_body
-        bb(x_ref, sh_ref, w_ref, wcat_ref, crep_ref, g_ref,
+        spec._bwd_body(x_ref, sh_ref, w_ref, wcat_ref, crep_ref, g_ref,
            dx_ref, dsh_ref, dw_ref, dwcat_ref, interpret, need_dsh)
 
     ematch = lambda i: (i, 0)  # noqa: E731
@@ -901,8 +661,7 @@ def pallas_apply(plan, x, sh, weight, flat_w, interpret=None,
     x2 = x.reshape(E, x.shape[-1]).astype(jnp.float32)
     sh2 = sh.reshape(E, sh.shape[-1]).astype(jnp.float32)
     x_m = jnp.take(x2, jnp.asarray(spec.x_perm), axis=-1)
-    wcat = (spec.build_wcat_bd(flat_w) if _v2_mode()
-            else spec.build_wcat(flat_w))
+    wcat = spec.build_wcat(flat_w)
     has_w = weight is not None
     w2 = (weight.reshape(E, weight.shape[-1]).astype(jnp.float32)
           if has_w else jnp.zeros((E, max(spec.n_ch, 1)), jnp.float32))

@@ -29,6 +29,16 @@ class HamGNNModel(fnn.Module):
         feats = self.representation(graph)
         return self.output(graph, feats, k_vecs=k_vecs)
 
+    def forward_view(self, view, k_vecs=None) -> Dict[str, jnp.ndarray]:
+        """Forward over a GraphView (models/view.py): the halo edge partition
+        calls this shard-local with all_to_all hooks injected; identical
+        parameters and math to ``__call__`` (which uses the dense view)."""
+        feats = self.representation.forward_view(view)
+        if not hasattr(self.output, "forward_view"):
+            raise NotImplementedError(
+                f"{type(self.output).__name__} has no GraphView forward")
+        return self.output.forward_view(view, feats, k_vecs=k_vecs)
+
 
 def _stack_pred_target(name: str, preds: Dict, graph: Graph):
     """Map a reference loss name to (pred rows, target rows, row mask)."""
@@ -77,20 +87,26 @@ def compute_losses(
     preds: Dict[str, jnp.ndarray],
     graph: Graph,
     losses: Sequence[Dict[str, Any]],
+    psum=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Weighted total loss + per-component logs.
 
     ``losses``: list of {"metric": str, "prediction": str, "target": str,
     "loss_weight": float} — the reference's YAML loss spec.  Hamiltonian-family
     components are scaled by the sparsity ratio (Model.py:159-162).
+
+    ``graph`` may be a padded Graph or a GraphView (halo partition): both
+    expose the target/mask fields.  Pass ``psum=view.psum`` under the
+    partition so masked means are global.
     """
+    kw = {} if psum is None else {"psum": psum}
     total = jnp.asarray(0.0, jnp.float32)
     logs = {}
     for spec in losses:
         fn = get_metric(spec["metric"])
         pname = spec["prediction"].lower()
         pred, target, mask = _stack_pred_target(pname, preds, graph)
-        value = fn(pred, target, mask)
+        value = fn(pred, target, mask, **kw)
         if pname in ("hamiltonian", "hamiltonian_real", "hamiltonian_imag") and \
                 "sparsity_ratio" in preds:
             value = value * preds["sparsity_ratio"]
@@ -99,13 +115,14 @@ def compute_losses(
     return total, logs
 
 
-def compute_metrics(preds, graph, metrics: Sequence[Dict[str, Any]]):
+def compute_metrics(preds, graph, metrics: Sequence[Dict[str, Any]], psum=None):
+    kw = {} if psum is None else {"psum": psum}
     out = {}
     for spec in metrics:
         fn = get_metric(spec["metric"])
         pname = spec["prediction"].lower()
         pred, target, mask = _stack_pred_target(pname, preds, graph)
-        value = fn(pred, target, mask)
+        value = fn(pred, target, mask, **kw)
         if pname.startswith("hamiltonian") and "sparsity_ratio" in preds:
             value = value * preds["sparsity_ratio"]
         out[f"{spec['metric']}_{pname}"] = value

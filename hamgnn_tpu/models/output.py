@@ -136,9 +136,19 @@ class HamGNNPlusPlusOut(fnn.Module):
     def _basis(self) -> BasisSetInfo:
         return get_basis_set(self.ham_type, self.nao_max)
 
-    @fnn.compact
     def __call__(self, graph: Graph, representation: Dict[str, jnp.ndarray],
                  k_vecs: Optional[jnp.ndarray] = None) -> Dict[str, jnp.ndarray]:
+        from .view import as_view
+
+        return self.forward_view(as_view(graph), representation, k_vecs=k_vecs)
+
+    @fnn.compact
+    def forward_view(self, view, representation: Dict[str, jnp.ndarray],
+                     k_vecs: Optional[jnp.ndarray] = None) -> Dict[str, jnp.ndarray]:
+        """Shared head forward over a GraphView: single-device (dense view)
+        and halo edge partition (all_to_all inverse-edge exchange + psum
+        reductions) run the same code; band energies need the whole-crystal
+        Graph and are computed when ``view.graph`` is set."""
         basis = self._basis()
         nao = basis.nao_max
         ham_irreps = hamiltonian_irreps(basis)
@@ -155,9 +165,6 @@ class HamGNNPlusPlusOut(fnn.Module):
         tperm = (np.arange(nao * nao).reshape(nao, nao).T).reshape(-1)
         M_T = jnp.asarray(M_np[:, tperm], dtype)
         mask_table = jnp.asarray(basis.orbital_mask_table, dtype)
-
-        src, dst = graph.edge_index[0], graph.edge_index[1]
-        inv_edge = graph.inv_edge_idx
 
         def blocks_from(head_name, feats, irreps_in):
             comps = HamLayer(
@@ -177,14 +184,14 @@ class HamGNNPlusPlusOut(fnn.Module):
 
         def hermitize_off(pair):
             h, hT = pair
-            return 0.5 * (h + hT[inv_edge])
+            return 0.5 * (h + view.inv_exchange(hT))
 
-        node_orb = mask_table[graph.z]                      # (N, nao)
+        node_orb = mask_table[view.z]                      # (N, nao)
         on_mask = (node_orb[:, :, None] * node_orb[:, None, :]).reshape(-1, nao * nao)
-        off_mask = (node_orb[src][:, :, None] * node_orb[dst][:, None, :]).reshape(
-            -1, nao * nao)
-        on_mask = on_mask * graph.node_mask[:, None].astype(dtype)
-        off_mask = off_mask * graph.edge_mask[:, None].astype(dtype)
+        off_mask = (mask_table[view.z_src][:, :, None]
+                    * mask_table[view.z_dst][:, None, :]).reshape(-1, nao * nao)
+        on_mask = on_mask * view.node_mask[:, None].astype(dtype)
+        off_mask = off_mask * view.edge_mask[:, None].astype(dtype)
 
         result: Dict[str, jnp.ndarray] = {}
 
@@ -202,25 +209,27 @@ class HamGNNPlusPlusOut(fnn.Module):
         # --- Hamiltonian heads -------------------------------------------
         h_on = blocks_from("onsite_hamiltonian", node_attr, self.irreps_in_node)
         h_on = hermitize_on(h_on) if self.symmetrize else h_on[0]
-        if self.add_H0 and graph.Hon0 is not None:
-            h_on = h_on + graph.Hon0
+        if self.add_H0 and view.Hon0 is not None:
+            h_on = h_on + view.Hon0
 
         h_off = blocks_from("offsite_hamiltonian", edge_attr, self.irreps_in_edge)
         h_off = hermitize_off(h_off) if self.symmetrize else h_off[0]
-        if self.add_H0 and graph.Hoff0 is not None:
-            h_off = h_off + graph.Hoff0
+        if self.add_H0 and view.Hoff0 is not None:
+            h_off = h_off + view.Hoff0
 
         h_on = h_on * on_mask
         h_off = h_off * off_mask
 
         # --- zero-point shift (reference :3958-3985) ---------------------
-        if self.zero_point_shift and graph.Son is not None and graph.Hon is not None:
+        if self.zero_point_shift and view.Son is not None and view.Hon is not None:
             thresh = 1e-6
-            s_on_ref, s_off_ref = graph.Son, graph.Soff
+            s_on_ref, s_off_ref = view.Son, view.Soff
             w_on = (s_on_ref > thresh).astype(dtype) * on_mask
             w_off = (s_off_ref > thresh).astype(dtype) * off_mask
-            num = jnp.sum(w_on * (h_on - graph.Hon)) + jnp.sum(w_off * (h_off - graph.Hoff))
-            den = jnp.sum(w_on * s_on_ref) + jnp.sum(w_off * s_off_ref)
+            num = view.psum(jnp.sum(w_on * (h_on - view.Hon))
+                            + jnp.sum(w_off * (h_off - view.Hoff)))
+            den = view.psum(jnp.sum(w_on * s_on_ref)
+                            + jnp.sum(w_off * s_off_ref))
             shift = num / jnp.maximum(den, 1e-12)
             h_on = h_on - shift * s_on_ref * on_mask
             h_off = h_off - shift * s_off_ref * off_mask
@@ -233,33 +242,55 @@ class HamGNNPlusPlusOut(fnn.Module):
 
         # --- sparsity ratio (reference :2784-2872) -----------------------
         n_orb = jnp.asarray(basis.num_orbital_table, jnp.float32)
-        n_i = n_orb[graph.z] * graph.node_mask
-        eff = jnp.sum(n_i * n_i) + jnp.sum(
-            n_orb[graph.z[src]] * n_orb[graph.z[dst]] * graph.edge_mask)
-        total = (jnp.sum(graph.node_mask) + jnp.sum(graph.edge_mask)) * float(nao * nao)
+        n_i = n_orb[view.z] * view.node_mask
+        eff = view.psum(jnp.sum(n_i * n_i) + jnp.sum(
+            n_orb[view.z_src] * n_orb[view.z_dst] * view.edge_mask))
+        total = view.psum(jnp.sum(view.node_mask)
+                          + jnp.sum(view.edge_mask)) * float(nao * nao)
         result["sparsity_ratio"] = total / jnp.maximum(eff, 1.0)
 
         # --- band energies -----------------------------------------------
-        if self.calculate_band_energy and k_vecs is not None:
+        graph = view.graph
+        if self.calculate_band_energy and k_vecs is not None \
+                and graph is not None:
             from ..physics.band import band_counts_per_crystal, band_energies_batched
 
             band_counts = None
             if self.band_species_counts is not None:
                 band_counts = band_counts_per_crystal(graph, self.band_species_counts)
 
+            # whole-crystal row order for the k-space assembly: identity on
+            # the dense view; all_gather + unpermute under the halo partition
+            h_on_g = view.gather_nodes_global(h_on)
+            h_off_g = view.gather_edges_global(h_off)
+            # ham_only=False + export_reciprocal: SK export comes from the
+            # PREDICTED overlap while the solve factorizes the reference S —
+            # the reference's calculate_band_energies_with_overlap contract
+            # (hamgnn_output.py:1368-1673, dispatch :3858-3868)
+            sk_pred = {}
+            if self.export_reciprocal_values and not self.ham_only:
+                sk_pred = {
+                    "sk_export_on": view.gather_nodes_global(result["overlap_on"]),
+                    "sk_export_off": view.gather_edges_global(result["overlap_off"]),
+                }
+            # H_sym (Cholesky-transformed H) is exported on the non-reciprocal
+            # band path, as in the reference (:3871, :3993)
+            want_H_sym = not self.export_reciprocal_values
             out = band_energies_batched(
-                graph, h_on, h_off, graph.Son, graph.Soff, k_vecs, basis,
+                graph, h_on_g, h_off_g, graph.Son, graph.Soff, k_vecs, basis,
                 num_bands=self.band_num_control,
                 export_reciprocal=self.export_reciprocal_values,
-                band_counts=band_counts)
+                band_counts=band_counts, export_H_sym=want_H_sym, **sk_pred)
             band, wfn, gap, *extras = out
             if band_counts is not None:
                 result["band_mask"] = extras.pop(0)
             if self.export_reciprocal_values:
-                result["HK"] = extras[0]
-                result["SK"] = extras[1]
-                if len(extras) > 2:
-                    result["dSK"] = extras[2]
+                result["HK"] = extras.pop(0)
+                result["SK"] = extras.pop(0)
+                if len(extras) > (1 if want_H_sym else 0):
+                    result["dSK"] = extras.pop(0)
+            if want_H_sym:
+                result["H_sym"] = extras.pop(0)
             result["band_energy"] = band
             result["wavefunction"] = wfn
             result["band_gap"] = gap

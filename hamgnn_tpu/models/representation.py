@@ -87,27 +87,41 @@ class HamGNNConvE3(fnn.Module):
     # untouched (interaction_blocks.py:156-158)
     legacy_edge_update: bool = False
 
-    @fnn.compact
     def __call__(self, graph: Graph):
+        from .view import as_view
+
+        return self.forward_view(as_view(graph))
+
+    @fnn.compact
+    def forward_view(self, view):
+        """Shared forward over a :class:`hamgnn_tpu.models.view.GraphView`.
+
+        Single-device ``__call__`` wraps the Graph in a dense view; the halo
+        edge partition (parallel/halo_model.py) builds a shard-local view
+        with all_to_all gather hooks and calls this method directly — one
+        forward, no duplicated plumbing.
+        """
         irreps_sh = Irreps(self.irreps_edge_sh)
         irreps_feat = Irreps(self.irreps_node_features)
         irreps_onehot = Irreps(f"{self.num_types}x0e")
         sh_ls = [ir.l for _, ir in irreps_sh]
 
         # --- embeddings -------------------------------------------------
-        doping = None
-        if self.apply_charge_doping and graph.doping_charge is not None:
-            doping = graph.doping_charge[graph.batch]
-        node_attrs = ChargeDopedOneHot(
+        # one shared embedding module evaluated at own/src/dst atoms: a
+        # per-node function of (z, q), so endpoint features need no exchange
+        emb = ChargeDopedOneHot(
             num_types=self.num_types,
             apply_charge_doping=self.apply_charge_doping,
             num_charge_attr_feas=self.num_charge_attr_feas,
             name="atomic_embedding",
-        )(graph.z, doping)
+        )
+        node_attrs = emb(view.z, view.doping_own)
+        onehot_src = emb(view.z_src, view.doping_src)
+        onehot_dst = emb(view.z_dst, view.doping_dst)
 
-        edge_vec = graph.edge_vectors()
+        edge_vec = view.edge_vec
         edge_len = jnp.sqrt(jnp.sum(edge_vec * edge_vec, axis=-1))
-        edge_len = jnp.where(graph.edge_mask, edge_len, 1.0)  # avoid 0-length pads
+        edge_len = jnp.where(view.edge_mask, edge_len, 1.0)  # avoid 0-length pads
         edge_sh = spherical_harmonics(sh_ls, edge_vec, normalize=True)
 
         rbf = RBF_REGISTRY[self.rbf_func](self.num_radial, self.cutoff)(edge_len)
@@ -122,16 +136,20 @@ class HamGNNConvE3(fnn.Module):
             use_kan=self.use_kan,
             lite_mode=self.lite_mode,
             name="pair_embedding",
-        )(node_attrs, edge_sh, edge_scalars, graph.edge_index)
+        )((onehot_src, onehot_dst), edge_sh, edge_scalars, None)
 
         node_feats = Linear(irreps_onehot, irreps_feat, name="chemical_embedding")(node_attrs)
 
         # --- interaction layers ----------------------------------------
         # jax remat replaces the reference's clone-based checkpoint wrapper
         # (hamgnn_conv.py:40-85) — blocks are pure functions here.
-        Conv = fnn.remat(ConvBlockE3) if self.use_gradient_checkpointing else ConvBlockE3
-        Corr = fnn.remat(CorrProductBlock) if self.use_gradient_checkpointing else CorrProductBlock
-        Pair = fnn.remat(PairInteractionBlock) if self.use_gradient_checkpointing else PairInteractionBlock
+        ckpt = self.use_gradient_checkpointing
+        Conv = (fnn.remat(ConvBlockE3, methods=("gathered_call",))
+                if ckpt else ConvBlockE3)
+        Corr = fnn.remat(CorrProductBlock) if ckpt else CorrProductBlock
+        Pair = (fnn.remat(PairInteractionBlock,
+                          methods=("lift", "gathered_call"))
+                if ckpt else PairInteractionBlock)
         for i in range(self.num_layers):
             conv = Conv(
                 irreps_in=irreps_feat,
@@ -170,13 +188,16 @@ class HamGNNConvE3(fnn.Module):
                 name=f"pair_{i}",
             )
 
-            node_feats = conv(
-                node_feats, edge_feats, edge_sh, edge_scalars, graph.edge_index,
-                graph.edge_mask)
+            node_feats = conv.gathered_call(
+                node_feats, view.gather_src(node_feats),
+                view.gather_dst(node_feats), edge_feats, edge_sh,
+                edge_scalars, view.dst_index, view.edge_mask)
             if corr is not None:
                 node_feats = corr(node_feats, node_attrs)
-            edge_feats = pair(
-                node_feats, edge_feats, edge_sh, edge_scalars, graph.edge_index)
+            up_src, up_dst = pair.lift(node_feats)
+            edge_feats = pair.gathered_call(
+                view.gather_src(up_src), view.gather_dst(up_dst),
+                edge_feats, edge_sh, edge_scalars)
 
         return {"node_attr": node_feats, "edge_attr": edge_feats}
 

@@ -145,29 +145,42 @@ class HamGNNSOCOut(fnn.Module):
     band_num_control: int = 8
     k_path: Optional[object] = None
 
-    @fnn.compact
     def __call__(self, graph: Graph, representation: Dict[str, jnp.ndarray],
                  k_vecs=None, h_nonsoc=None) -> Dict[str, jnp.ndarray]:
+        from .view import as_view
+
+        return self.forward_view(as_view(graph), representation,
+                                 k_vecs=k_vecs, h_nonsoc=h_nonsoc)
+
+    @fnn.compact
+    def forward_view(self, view, representation: Dict[str, jnp.ndarray],
+                     k_vecs=None, h_nonsoc=None) -> Dict[str, jnp.ndarray]:
+        """Shared SOC head forward over a GraphView (see models/view.py):
+        the halo edge partition injects all_to_all hooks; single-device uses
+        the dense view.  Spinor band energies need the whole-crystal Graph
+        (``view.graph``)."""
         basis = get_basis_set(self.ham_type, self.nao_max)
         nao = basis.nao_max
         node_attr = representation["node_attr"]
         edge_attr = representation["edge_attr"]
         dtype = node_attr.dtype
-        src, dst = graph.edge_index[0], graph.edge_index[1]
-        inv_edge = graph.inv_edge_idx
 
         mask_table = jnp.asarray(basis.orbital_mask_table, dtype)
-        node_orb = mask_table[graph.z]
+        node_orb = mask_table[view.z]
         on_pair = node_orb[:, :, None] * node_orb[:, None, :]
-        off_pair = node_orb[src][:, :, None] * node_orb[dst][:, None, :]
-        on_pair = on_pair * graph.node_mask[:, None, None].astype(dtype)
-        off_pair = off_pair * graph.edge_mask[:, None, None].astype(dtype)
+        off_pair = (mask_table[view.z_src][:, :, None]
+                    * mask_table[view.z_dst][:, None, :])
+        on_pair = on_pair * view.node_mask[:, None, None].astype(dtype)
+        off_pair = off_pair * view.edge_mask[:, None, None].astype(dtype)
 
-        def herm2(h, inv=None, sign=1.0):
+        def herm2(h, inv=False, sign=1.0):
             """(anti-)Hermitian symmetrization of (n, 2nao, 2nao) complex."""
             if not self.symmetrize:
                 return h
-            ht = jnp.swapaxes(h if inv is None else h[inv], -1, -2).conj()
+            n, d1, d2 = h.shape
+            hm = (view.inv_exchange(h.reshape(n, d1 * d2)).reshape(n, d1, d2)
+                  if inv else h)
+            ht = jnp.swapaxes(hm, -1, -2).conj()
             return 0.5 * (h + sign * ht)
 
         if self.soc_basis == "su2":
@@ -189,7 +202,7 @@ class HamGNNSOCOut(fnn.Module):
             h_on = spin_blocks(node_attr, self.irreps_in_node, "onsite_hamiltonian")
             h_off = spin_blocks(edge_attr, self.irreps_in_edge, "offsite_hamiltonian")
             h_on = herm2(h_on)
-            h_off = herm2(h_off, inv_edge)
+            h_off = herm2(h_off, inv=True)
 
             # per-spin-block orbital masks: tile the nao mask into 2x2 blocks
             def tile_mask(pair):
@@ -229,7 +242,10 @@ class HamGNNSOCOut(fnn.Module):
                 h_spatial_off = spatial(edge_attr, self.irreps_in_edge, "offsite_hamiltonian")
                 hs_off = h_spatial_off.reshape(-1, nao, nao)
                 if self.symmetrize:
-                    hs_off = 0.5 * (hs_off + jnp.swapaxes(hs_off[inv_edge], -1, -2))
+                    n_e = hs_off.shape[0]
+                hs_inv = view.inv_exchange(
+                    hs_off.reshape(n_e, nao * nao)).reshape(n_e, nao, nao)
+                hs_off = 0.5 * (hs_off + jnp.swapaxes(hs_inv, -1, -2))
                 hs_on = hs_on * on_pair
                 hs_off = hs_off * off_pair
 
@@ -244,8 +260,8 @@ class HamGNNSOCOut(fnn.Module):
             ksi_on = ksi_head(node_attr, self.irreps_in_node, "onsite_ksi")
             ksi_off = ksi_head(edge_attr, self.irreps_in_edge, "offsite_ksi")
 
-            Lon = graph.Lon.reshape(-1, nao * nao, 3)
-            Loff = graph.Loff.reshape(-1, nao * nao, 3)
+            Lon = view.Lon.reshape(-1, nao * nao, 3)
+            Loff = view.Loff.reshape(-1, nao * nao, 3)
 
             def sym_on(x, sign=1.0):
                 m = x.reshape(-1, nao, nao)
@@ -253,7 +269,9 @@ class HamGNNSOCOut(fnn.Module):
 
             def sym_off(x, sign=1.0):
                 m = x.reshape(-1, nao, nao)
-                return 0.5 * (m + sign * jnp.swapaxes(m[inv_edge], -1, -2))
+                minv = view.inv_exchange(m.reshape(-1, nao * nao)).reshape(
+                    -1, nao, nao)
+                return 0.5 * (m + sign * jnp.swapaxes(minv, -1, -2))
 
             def assemble(h_sp, ksi, L, sym):
                 # real part: diag blocks = H_spatial; off-diag = sym-(anti)H of ksi*L_y
@@ -291,8 +309,8 @@ class HamGNNSOCOut(fnn.Module):
         h_off_r = h_off_r.reshape(-1, n2)
         h_off_i = h_off_i.reshape(-1, n2)
 
-        if self.add_H0 and graph.Hon0 is not None:
-            hon0, hoff0 = graph.Hon0, graph.Hoff0
+        if self.add_H0 and view.Hon0 is not None:
+            hon0, hoff0 = view.Hon0, view.Hoff0
             if self.add_H_nonsoc:
                 # zero the spin-diagonal blocks of H0 (reference :3038-3049):
                 # the non-SOC prediction already carries the spatial H0
@@ -306,25 +324,25 @@ class HamGNNSOCOut(fnn.Module):
                 hoff0 = zero_diag(hoff0)
             h_on_r = h_on_r + hon0
             h_off_r = h_off_r + hoff0
-            if graph.iHon0 is not None:
-                h_on_i = h_on_i + graph.iHon0
-                h_off_i = h_off_i + graph.iHoff0
+            if view.iHon0 is not None:
+                h_on_i = h_on_i + view.iHon0
+                h_off_i = h_off_i + view.iHoff0
 
         result = {
             "hamiltonian_real_on": h_on_r,
             "hamiltonian_real_off": h_off_r,
             "hamiltonian_imag_on": h_on_i,
             "hamiltonian_imag_off": h_off_i,
-            "mask_on": m_on.reshape(-1, n2) * graph.node_mask[:, None].astype(dtype),
-            "mask_off": m_off.reshape(-1, n2) * graph.edge_mask[:, None].astype(dtype),
+            "mask_on": m_on.reshape(-1, n2) * view.node_mask[:, None].astype(dtype),
+            "mask_off": m_off.reshape(-1, n2) * view.edge_mask[:, None].astype(dtype),
         }
 
         # zero-point shift on spin-diagonal real blocks (reference :3988-4015)
-        if self.zero_point_shift and graph.Son is not None and graph.Hon is not None:
+        if self.zero_point_shift and view.Son is not None and view.Hon is not None:
             thresh = 1e-6
-            s_on, s_off = graph.Son, graph.Soff  # (n, nao^2)
-            w_on = (s_on > thresh).astype(dtype) * graph.node_mask[:, None]
-            w_off = (s_off > thresh).astype(dtype) * graph.edge_mask[:, None]
+            s_on, s_off = view.Son, view.Soff  # (n, nao^2)
+            w_on = (s_on > thresh).astype(dtype) * view.node_mask[:, None]
+            w_off = (s_off > thresh).astype(dtype) * view.edge_mask[:, None]
 
             def diag_blocks(h):
                 hb = h.reshape(-1, 2, nao, 2, nao)
@@ -333,11 +351,13 @@ class HamGNNSOCOut(fnn.Module):
 
             uu_on, dd_on = diag_blocks(h_on_r)
             uu_off, dd_off = diag_blocks(h_off_r)
-            tuu_on, tdd_on = diag_blocks(graph.Hon)
-            tuu_off, tdd_off = diag_blocks(graph.Hoff)
-            num = (jnp.sum(w_on * ((uu_on + dd_on) - (tuu_on + tdd_on)))
-                   + jnp.sum(w_off * ((uu_off + dd_off) - (tuu_off + tdd_off))))
-            den = 2.0 * (jnp.sum(w_on * s_on) + jnp.sum(w_off * s_off))
+            tuu_on, tdd_on = diag_blocks(view.Hon)
+            tuu_off, tdd_off = diag_blocks(view.Hoff)
+            num = view.psum(
+                jnp.sum(w_on * ((uu_on + dd_on) - (tuu_on + tdd_on)))
+                + jnp.sum(w_off * ((uu_off + dd_off) - (tuu_off + tdd_off))))
+            den = 2.0 * view.psum(jnp.sum(w_on * s_on)
+                                  + jnp.sum(w_off * s_off))
             shift = num / jnp.maximum(den, 1e-12)
 
             def apply_shift(h, s, w):
@@ -352,22 +372,25 @@ class HamGNNSOCOut(fnn.Module):
 
         # sparsity (per-spin-block elements scale equally; ratio is unchanged)
         n_orb = jnp.asarray(basis.num_orbital_table, jnp.float32)
-        n_i = n_orb[graph.z] * graph.node_mask
-        eff = jnp.sum(n_i * n_i) + jnp.sum(
-            n_orb[graph.z[src]] * n_orb[graph.z[dst]] * graph.edge_mask)
-        total = (jnp.sum(graph.node_mask) + jnp.sum(graph.edge_mask)) * float(nao * nao)
+        n_i = n_orb[view.z] * view.node_mask
+        eff = view.psum(jnp.sum(n_i * n_i) + jnp.sum(
+            n_orb[view.z_src] * n_orb[view.z_dst] * view.edge_mask))
+        total = view.psum(jnp.sum(view.node_mask)
+                          + jnp.sum(view.edge_mask)) * float(nao * nao)
         result["sparsity_ratio"] = total / jnp.maximum(eff, 1.0)
 
         # --- spinor band energies (SOC secondary training) ----------------
+        graph = view.graph
         if self.calculate_band_energy and k_vecs is not None \
-                and graph.Son is not None:
+                and graph is not None and graph.Son is not None:
             from ..physics.band import band_energies_soc_batched
 
             band, wfn, gap = band_energies_soc_batched(
-                graph, result["hamiltonian_real_on"],
-                result["hamiltonian_imag_on"],
-                result["hamiltonian_real_off"],
-                result["hamiltonian_imag_off"],
+                graph,
+                view.gather_nodes_global(result["hamiltonian_real_on"]),
+                view.gather_nodes_global(result["hamiltonian_imag_on"]),
+                view.gather_edges_global(result["hamiltonian_real_off"]),
+                view.gather_edges_global(result["hamiltonian_imag_off"]),
                 graph.Son, graph.Soff, k_vecs, basis,
                 num_bands=self.band_num_control)
             result["band_energy"] = band

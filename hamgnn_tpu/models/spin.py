@@ -232,6 +232,14 @@ class HamGNNMagneticOut(fnn.Module):
     add_H0: bool = True
     symmetrize: bool = True
     nonlinearity_type: str = "gate"
+    # collinear spin-polarized band branch (reference hamgnn_output.py
+    # :3727-3767): per-spin-channel generalized bands from the up/down
+    # Hamiltonian stacks against the (spin-independent) reference overlap
+    calculate_band_energy: bool = False
+    num_k: int = 5
+    band_num_control: int = 8
+    k_path: Optional[object] = None
+    export_reciprocal_values: bool = False
 
     @fnn.compact
     def __call__(self, graph: Graph, representation, k_vecs=None):
@@ -333,6 +341,40 @@ class HamGNNMagneticOut(fnn.Module):
                 on_pair.reshape(-1, 1, nao * nao), col_on.shape)
             result["mask_off"] = jnp.broadcast_to(
                 off_pair.reshape(-1, 1, nao * nao), col_off.shape)
+
+            if self.calculate_band_energy and k_vecs is not None:
+                # per-spin-channel band solve (reference :3727-3767): each
+                # channel against the spin-independent reference overlap;
+                # up/down stacked on the crystal axis like torch.cat(dim=0)
+                from ..physics.band import band_energies_batched
+
+                def solve(h_on_s, h_off_s, want_sym):
+                    return band_energies_batched(
+                        graph, h_on_s, h_off_s, graph.Son, graph.Soff,
+                        k_vecs, basis, num_bands=self.band_num_control,
+                        export_H_sym=want_sym)
+
+                want_sym = not self.export_reciprocal_values
+                up = solve(col_on[:, 0, :], col_off[:, 0, :], want_sym)
+                dn = solve(col_on[:, 1, :], col_off[:, 1, :], want_sym)
+                result["band_energy_up"], result["band_gap_up"] = up[0], up[2]
+                result["band_energy_down"], result["band_gap_down"] = dn[0], dn[2]
+                result["band_energy"] = jnp.concatenate([up[0], dn[0]], axis=0)
+                result["wavefunction"] = jnp.concatenate([up[1], dn[1]], axis=0)
+                result["band_gap"] = jnp.concatenate([up[2], dn[2]], axis=0)
+                if want_sym:
+                    # reference keeps the last channel's H_sym (:3747-3749)
+                    result["H_sym"] = dn[3]
+
+                # reference targets (no_grad, :3757-3763)
+                t_on = jax.lax.stop_gradient(graph.Hon)
+                t_off = jax.lax.stop_gradient(graph.Hoff)
+                up_r = solve(t_on[:, 0, :], t_off[:, 0, :], False)
+                dn_r = solve(t_on[:, 1, :], t_off[:, 1, :], False)
+                result["band_energy_ref"] = jnp.concatenate(
+                    [up_r[0], dn_r[0]], axis=0)
+                result["band_gap_ref"] = jnp.concatenate(
+                    [up_r[2], dn_r[2]], axis=0)
             return result
 
         # non-collinear: doubled spin structure, complex Heisenberg

@@ -102,6 +102,9 @@ def band_energies_batched(
     max_atoms: Optional[int] = None,
     export_reciprocal: bool = False,
     band_counts: Optional[jnp.ndarray] = None,
+    sk_export_on: Optional[jnp.ndarray] = None,
+    sk_export_off: Optional[jnp.ndarray] = None,
+    export_H_sym: bool = False,
 ) -> Tuple[jnp.ndarray, ...]:
     """Generalized bands around half filling.
 
@@ -118,6 +121,18 @@ def band_energies_batched(
     static-shape equivalent of the reference's per-crystal truncation.
     Returns (band_energy (B, nk, num_bands), wavefunction, band_gap,
     band_mask[, HK, SK, dSK]).
+
+    ``sk_export_on/off``: when set (the reference's
+    ``calculate_band_energies_with_overlap``, hamgnn_output.py:1368-1673,
+    used with ``ham_only=False``), the *exported* SK is assembled from
+    these (predicted) overlap rows while the eigensolve still factorizes
+    the reference overlap — exactly the reference's debugging contract
+    (solve with reference_overlap_k Cholesky :1604-1618, export
+    predicted_overlap_k :1640-1643).
+
+    ``export_H_sym``: append the Cholesky-transformed Hamiltonian
+    A = L^-1 H(k) L^-H (the reference's ``symmetrized_hamiltonians``
+    export, :1609-1613, :1647) as (B, nk, M*nao, M*nao).
     """
     nao = basis.nao_max
     M = int(max_atoms) if max_atoms is not None else int(graph.num_nodes)
@@ -195,12 +210,21 @@ def band_energies_batched(
     if band_mask is not None:
         extras.append(band_mask)
     if export_reciprocal:
-        extras.extend([HK, SK])
+        if sk_export_on is not None and sk_export_off is not None:
+            SK_exp = assemble_k_matrices(
+                graph, sk_export_on, sk_export_off, k_vecs, nao, M)
+            SK_exp = SK_exp * pair_valid[:, None]
+            SK_exp = SK_exp.at[:, :, idx, idx].add(diag_pad.astype(SK_exp.dtype))
+        else:
+            SK_exp = SK
+        extras.extend([HK, SK_exp])
         if graph.dSon is not None and graph.dSoff is not None:
             dsk = [assemble_k_matrices(
                 graph, graph.dSon[..., k_ax], graph.dSoff[..., k_ax],
                 k_vecs, nao, M) for k_ax in range(3)]
             extras.append(jnp.stack(dsk, axis=-1))
+    if export_H_sym:
+        extras.append(A)
     if extras:
         return (band, wfn, gap, *extras)
     return band, wfn, gap

@@ -337,5 +337,86 @@ class TestDictBandControl:
         kw = _band_control_kwargs(D(band_num_control={"6": 2, "14": 4}))
         assert kw == {"band_num_control": 32,
                       "band_species_counts": ((6, 2), (14, 4))}
-        with _pytest.raises(NotImplementedError):
-            _band_control_kwargs(D(band_num_control=0.5))
+        # float: warn-and-disable like the reference (hamgnn_output.py:826-830)
+        with _pytest.warns(UserWarning):
+            kw = _band_control_kwargs(D(band_num_control=0.5))
+        assert kw == {"band_num_control": 32}
+
+
+class TestHSymAndPredictedOverlap:
+    def test_h_sym_export(self):
+        """H_sym = L^-1 H(k) L^-H (reference symmetrized_hamiltonians,
+        hamgnn_output.py:1609-1613): eigenvalues of H_sym equal the bands."""
+        rng = np.random.default_rng(31)
+        c = add_random_hamiltonian_targets(rng, make_crystal(rng, n_atoms=3,
+                                                             species=(6, 14)))
+        graph = pad_and_batch([c], bucket_multiple=8)
+        basis = get_basis_set("openmx", 14)
+        k_vecs = np.asarray(random_k_cartesian(rng, 2, np.asarray(c["cell"][0])),
+                            np.float32)[None]
+        band, wfn, gap, H_sym = band_energies_batched(
+            graph, graph.Hon, graph.Hoff, graph.Son, graph.Soff, k_vecs, basis,
+            num_bands=2, max_atoms=3, export_H_sym=True)
+        norb = 3 * 14
+        assert H_sym.shape == (1, 2, norb, norb)
+        hs = np.asarray(H_sym)[0, 0]
+        np.testing.assert_allclose(hs, hs.conj().T, atol=1e-5)
+        evs = np.linalg.eigvalsh(hs)
+        # the band window is a slice of H_sym's spectrum
+        b = np.asarray(band)[0, 0]
+        idx = np.searchsorted(evs, b[0] - 1e-4)
+        np.testing.assert_allclose(evs[idx : idx + len(b)], b, atol=1e-3)
+
+    def test_predicted_overlap_sk_export(self):
+        """ham_only=False export: SK comes from the predicted overlap while
+        bands still solve against the reference overlap
+        (calculate_band_energies_with_overlap, :1604-1643)."""
+        rng = np.random.default_rng(32)
+        c = add_random_hamiltonian_targets(rng, make_crystal(rng, n_atoms=3,
+                                                             species=(6, 14)))
+        graph = pad_and_batch([c], bucket_multiple=8)
+        basis = get_basis_set("openmx", 14)
+        k_vecs = np.asarray(random_k_cartesian(rng, 2, np.asarray(c["cell"][0])),
+                            np.float32)[None]
+        # a visibly different "predicted" overlap
+        s_on_pred = graph.Son * 1.5
+        s_off_pred = graph.Soff * 1.5
+        out = band_energies_batched(
+            graph, graph.Hon, graph.Hoff, graph.Son, graph.Soff, k_vecs, basis,
+            num_bands=2, max_atoms=3, export_reciprocal=True,
+            sk_export_on=s_on_pred, sk_export_off=s_off_pred)
+        band_p, _, _, HK_p, SK_p, *_r = out
+        out_ref = band_energies_batched(
+            graph, graph.Hon, graph.Hoff, graph.Son, graph.Soff, k_vecs, basis,
+            num_bands=2, max_atoms=3, export_reciprocal=True)
+        band_r, _, _, HK_r, SK_r, *_r2 = out_ref
+        # bands unchanged (solve uses reference S), SK export scaled
+        np.testing.assert_allclose(np.asarray(band_p), np.asarray(band_r),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(HK_p), np.asarray(HK_r), atol=1e-6)
+        sk_p = np.asarray(SK_p)[0, 0]
+        sk_r = np.asarray(SK_r)[0, 0]
+        # off-diagonal (valid) entries scale by exactly 1.5
+        mask = np.abs(sk_r) > 1e-8
+        np.fill_diagonal(mask, False)
+        np.testing.assert_allclose(sk_p[mask], 1.5 * sk_r[mask], rtol=1e-5)
+
+    def test_head_exports_h_sym(self, setup):
+        """The plain head exports H_sym on the band path like the reference
+        result dict (:3993)."""
+        graph, rep, out, p_rep, p_out, feats, res = setup
+        import dataclasses
+
+        rng = np.random.default_rng(33)
+        head = HamGNNPlusPlusOut(
+            irreps_in_node=FEAT, irreps_in_edge=FEAT, nao_max=14,
+            ham_type="openmx", add_H0=False, zero_point_shift=False,
+            calculate_band_energy=True, num_k=2, band_num_control=2)
+        k_vecs = np.asarray(
+            random_k_cartesian(rng, 2, np.asarray(graph.cell[0])),
+            np.float32)[None]
+        p = head.init(jax.random.PRNGKey(3), graph, feats, k_vecs=jnp.asarray(k_vecs))
+        res2 = head.apply(p, graph, feats, k_vecs=jnp.asarray(k_vecs))
+        assert "H_sym" in res2
+        assert np.isfinite(np.asarray(res2["H_sym"])).all()
+        assert "band_energy" in res2

@@ -6,6 +6,7 @@ must match it exactly on small crystals.
 """
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -154,3 +155,65 @@ class TestMagneticHead:
             assert res["hamiltonian_real_on"].shape[1] == big
             assert np.isfinite(np.asarray(res["hamiltonian_real_on"])).all()
             assert np.isfinite(np.asarray(res["hamiltonian_imag_on"])).all()
+
+
+class TestCollinearBand:
+    def test_collinear_band_branch(self):
+        """Per-spin-channel band solve (reference hamgnn_output.py:3727-3767):
+        up/down channels against the spin-independent reference overlap,
+        stacked on the crystal axis; H_sym from the last channel."""
+        rng = np.random.default_rng(7)
+        c = make_crystal(rng, n_atoms=3, species=(6, 14))
+        c = add_random_hamiltonian_targets(rng, c, nao_max=14)
+        n, e = len(c["z"]), c["edge_index"].shape[1]
+        # collinear targets: (rows, 2, nao^2) spin channel stacks
+        c["Hon"] = np.stack([c["Hon"], c["Hon"] * 1.01], axis=1)
+        c["Hoff"] = np.stack([c["Hoff"], c["Hoff"] * 1.01], axis=1)
+        c["spin_vec"] = rng.normal(size=(n, 3))
+        c["spin_length"] = np.linalg.norm(c["spin_vec"], axis=-1)
+        graph = pad_and_batch([c], bucket_multiple=8)
+        rep = HamGNNConvE3(num_types=20, irreps_edge_sh=SH,
+                           irreps_node_features=FEAT, num_layers=1,
+                           num_radial=8, cutoff=4.0, radial_mlp=(16, 16))
+        p = rep.init(jax.random.PRNGKey(0), graph)
+        feats = rep.apply(p, graph)
+
+        from hamgnn_tpu.physics.kpoints import random_k_cartesian
+        nk, w = 2, 2
+        k_vecs = jnp.asarray(np.asarray(
+            random_k_cartesian(rng, nk, np.asarray(c["cell"][0])),
+            np.float32)[None])
+
+        head = HamGNNMagneticOut(
+            irreps_in_node=FEAT, irreps_in_edge=FEAT, nao_max=14,
+            ham_type="openmx", soc_switch=False, collinear_spin=True,
+            add_H0=False, calculate_band_energy=True, num_k=nk,
+            band_num_control=w)
+        params = head.init(jax.random.PRNGKey(1), graph, feats, k_vecs=k_vecs)
+        res = head.apply(params, graph, feats, k_vecs=k_vecs)
+
+        assert res["band_energy_up"].shape == (1, nk, 2 * w)
+        assert res["band_energy_down"].shape == (1, nk, 2 * w)
+        assert res["band_energy"].shape == (2, nk, 2 * w)
+        assert res["band_energy_ref"].shape == (2, nk, 2 * w)
+        assert res["band_gap"].shape == (2,)
+        assert "H_sym" in res
+        for k in ("band_energy", "band_energy_ref", "band_gap"):
+            assert np.isfinite(np.asarray(res[k])).all()
+
+        # reference targets match a direct per-channel solve
+        from hamgnn_tpu.physics.band import band_energies_batched
+        from hamgnn_tpu.models.basis import get_basis_set
+        basis = get_basis_set("openmx", 14)
+        up_r = band_energies_batched(
+            graph, graph.Hon[:, 0, :], graph.Hoff[:, 0, :], graph.Son,
+            graph.Soff, k_vecs, basis, num_bands=w)
+        np.testing.assert_allclose(np.asarray(res["band_energy_ref"][0]),
+                                   np.asarray(up_r[0][0]), atol=1e-5)
+
+        # the secondary band loss path works end to end
+        from hamgnn_tpu.models.model import compute_losses
+        losses = [{"metric": "mae", "prediction": "band_energy",
+                   "target": "band_energy", "loss_weight": 0.01}]
+        total, logs = compute_losses(res, graph, losses)
+        assert np.isfinite(float(total))
