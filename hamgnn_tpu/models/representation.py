@@ -222,8 +222,16 @@ class HamGNNTransformer(fnn.Module):
     apply_charge_doping: bool = False
     num_charge_attr_feas: int = 8
 
-    @fnn.compact
     def __call__(self, graph: Graph):
+        from .view import as_view
+
+        return self.forward_view(as_view(graph))
+
+    @fnn.compact
+    def forward_view(self, view):
+        """Shared forward over a GraphView (see HamGNNConvE3.forward_view):
+        the attention softmax/aggregation segment over the view's local dst
+        index, which the dst-owned halo partition keeps shard-local."""
         from ..nn.attention import AttentionBlockE3
 
         irreps_sh = Irreps(self.irreps_edge_sh)
@@ -231,19 +239,19 @@ class HamGNNTransformer(fnn.Module):
         irreps_onehot = Irreps(f"{self.num_types}x0e")
         sh_ls = [ir.l for _, ir in irreps_sh]
 
-        doping = None
-        if self.apply_charge_doping and graph.doping_charge is not None:
-            doping = graph.doping_charge[graph.batch]
-        node_attrs = ChargeDopedOneHot(
+        emb = ChargeDopedOneHot(
             num_types=self.num_types,
             apply_charge_doping=self.apply_charge_doping,
             num_charge_attr_feas=self.num_charge_attr_feas,
             name="atomic_embedding",
-        )(graph.z, doping)
+        )
+        node_attrs = emb(view.z, view.doping_own)
+        onehot_src = emb(view.z_src, view.doping_src)
+        onehot_dst = emb(view.z_dst, view.doping_dst)
 
-        edge_vec = graph.edge_vectors()
+        edge_vec = view.edge_vec
         edge_len = jnp.sqrt(jnp.sum(edge_vec * edge_vec, axis=-1))
-        edge_len = jnp.where(graph.edge_mask, edge_len, 1.0)
+        edge_len = jnp.where(view.edge_mask, edge_len, 1.0)
         edge_sh = spherical_harmonics(sh_ls, edge_vec, normalize=True)
         rbf = RBF_REGISTRY[self.rbf_func](self.num_radial, self.cutoff)(edge_len)
         edge_scalars = rbf * cosine_cutoff(edge_len, self.cutoff)[:, None]
@@ -256,11 +264,11 @@ class HamGNNTransformer(fnn.Module):
             radial_mlp=tuple(self.radial_mlp),
             use_kan=self.use_kan,
             name="pair_embedding",
-        )(node_attrs, edge_sh, edge_scalars, graph.edge_index)
+        )((onehot_src, onehot_dst), edge_sh, edge_scalars, None)
         node_feats = Linear(irreps_onehot, irreps_feat, name="chemical_embedding")(node_attrs)
 
         for i in range(self.num_layers):
-            node_feats = AttentionBlockE3(
+            att = AttentionBlockE3(
                 irreps_in=irreps_feat,
                 irreps_out=irreps_feat,
                 irreps_edge_attrs=irreps_sh,
@@ -270,8 +278,11 @@ class HamGNNTransformer(fnn.Module):
                 radial_mlp=tuple(self.radial_mlp),
                 use_kan=self.use_kan,
                 name=f"orb_transformer_{i}",
-            )(node_feats, edge_feats, edge_sh, edge_scalars, edge_len,
-              graph.edge_index, graph.edge_mask)
+            )
+            node_feats = att.gathered_call(
+                node_feats, view.gather_src, view.gather_dst, edge_feats,
+                edge_sh, edge_scalars, edge_len, view.dst_index,
+                view.edge_mask)
             node_feats = CorrProductBlock(
                 irreps_node_feats=irreps_feat,
                 num_hidden_features=self.num_hidden_features,
@@ -280,7 +291,7 @@ class HamGNNTransformer(fnn.Module):
                 use_skip_connections=True,
                 name=f"corr_{i}",
             )(node_feats, node_attrs)
-            edge_feats = PairInteractionBlock(
+            pair = PairInteractionBlock(
                 irreps_node_feats=irreps_feat,
                 irreps_edge_feats=irreps_feat,
                 irreps_edge_attrs=irreps_sh,
@@ -288,7 +299,11 @@ class HamGNNTransformer(fnn.Module):
                 radial_mlp=tuple(self.radial_mlp),
                 use_kan=self.use_kan,
                 name=f"pair_{i}",
-            )(node_feats, edge_feats, edge_sh, edge_scalars, graph.edge_index)
+            )
+            up_src, up_dst = pair.lift(node_feats)
+            edge_feats = pair.gathered_call(
+                view.gather_src(up_src), view.gather_dst(up_dst),
+                edge_feats, edge_sh, edge_scalars)
 
         return {"node_attr": node_feats, "edge_attr": edge_feats}
 

@@ -83,18 +83,24 @@ class AttentionBlockE3(fnn.Module):
     use_kan: bool = False
 
     @fnn.compact
-    def __call__(self, node_feats, edge_feats, edge_sh, edge_scalars, edge_len,
-                 edge_index, edge_mask):
+    def gathered_call(self, node_feats_own, gather_src, gather_dst, edge_feats,
+                      edge_sh, edge_scalars, edge_len, dst_idx, edge_mask):
+        """Core with injected endpoint gathers: the attention softmax and
+        aggregation segment over ``dst_idx``, which is shard-local under the
+        dst-owned halo edge partition (parallel/halo.py) — so the same
+        parameters/math run dense and partitioned."""
         irreps_in = Irreps(self.irreps_in)
         irreps_out = Irreps(self.irreps_out)
-        num_nodes = node_feats.shape[0]
-        src, dst = edge_index[0], edge_index[1]
+        num_nodes = node_feats_own.shape[0]
 
-        sc = Linear(irreps_in, irreps_out, name="skip")(node_feats) \
+        sc = Linear(irreps_in, irreps_out, name="skip")(node_feats_own) \
             if self.use_skip_connections else None
 
-        key = Linear(irreps_in, irreps_in, name="linear_key")(node_feats)[src]
-        query = Linear(irreps_in, irreps_in, name="linear_key2")(node_feats)[dst]
+        # per-node linears run on owned rows; the gather commutes with them
+        key = gather_src(Linear(irreps_in, irreps_in,
+                                name="linear_key")(node_feats_own))
+        query = gather_dst(Linear(irreps_in, irreps_in,
+                                  name="linear_key2")(node_feats_own))
 
         value = MessagePackBlock(
             irreps_node_feats=irreps_in,
@@ -106,8 +112,10 @@ class AttentionBlockE3(fnn.Module):
             use_kan=self.use_kan,
             name="conv_tp_value",
         )(
-            Linear(irreps_in, irreps_in, name="linear_up_src")(node_feats)[src],
-            Linear(irreps_in, irreps_in, name="linear_up_tar")(node_feats)[dst],
+            gather_src(Linear(irreps_in, irreps_in,
+                              name="linear_up_src")(node_feats_own)),
+            gather_dst(Linear(irreps_in, irreps_in,
+                              name="linear_up_tar")(node_feats_own)),
             Linear(irreps_in, irreps_in, name="linear_up_edge")(edge_feats),
             edge_sh, edge_scalars,
         )
@@ -121,9 +129,10 @@ class AttentionBlockE3(fnn.Module):
         cutoff = SoftUnitStepCutoff(cutoff=self.max_radius, name="cutoff")(edge_len)
         logits = cutoff[:, None] * logits
         logits = logits / math.sqrt(h_irreps.dim)
-        w = edge_softmax(logits, dst, num_nodes, edge_mask)  # (E, H)
+        w = edge_softmax(logits, dst_idx, num_nodes, edge_mask)  # (E, H)
 
-        agg = jax.ops.segment_sum(w[:, :, None] * v_h, dst, num_segments=num_nodes)
+        agg = jax.ops.segment_sum(w[:, :, None] * v_h, dst_idx,
+                                  num_segments=num_nodes)
         out = merge_heads(agg, h_irreps)
 
         out = ResidualBlock(irreps_in=irreps_in, irreps_hidden=irreps_out,
@@ -131,3 +140,10 @@ class AttentionBlockE3(fnn.Module):
         if sc is not None:
             out = out + sc
         return out
+
+    def __call__(self, node_feats, edge_feats, edge_sh, edge_scalars, edge_len,
+                 edge_index, edge_mask):
+        src, dst = edge_index[0], edge_index[1]
+        return self.gathered_call(
+            node_feats, lambda rows: rows[src], lambda rows: rows[dst],
+            edge_feats, edge_sh, edge_scalars, edge_len, dst, edge_mask)
