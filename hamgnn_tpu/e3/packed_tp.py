@@ -216,7 +216,30 @@ class PackedTPPlan:
         if weight is not None and not weight_packed:
             weight = jnp.take(weight, jnp.asarray(self.scale_perm), axis=-1)
 
+        import os as _os
+
         from .pallas_tp import pallas_apply, use_pallas
+
+        eng = _os.environ.get("HAMGNN_TP_ENGINE", "auto")
+        if eng == "zonal":
+            # edge-frame (zonal) Pallas kernels — see e3/pallas_zonal.py
+            from .pallas_zonal import zonal_pallas_apply
+
+            return zonal_pallas_apply(self, x, sh, weight, flat_w)
+        if eng == "zonal-xla":
+            # edge-frame (zonal) execution, XLA reference path — exact same
+            # function, ~6x fewer mid-stage FMAs (see e3/zonal_tp.py)
+            from .zonal_tp import zonal_apply
+
+            if weight is None:
+                return jax.checkpoint(
+                    lambda a, b, c: zonal_apply(self, a, b, None, c,
+                                                compute_dtype)
+                )(x, sh, flat_w)
+            return jax.checkpoint(
+                lambda a, b, w, c: zonal_apply(self, a, b, w, c,
+                                               compute_dtype)
+            )(x, sh, weight, flat_w)
 
         if use_pallas():
             # the Pallas engine has its own VMEM-resident backward kernel

@@ -320,3 +320,131 @@ def pack_crystal_abacus(graph: Dict, stru: Stru, nao_max: int,
     out["Hon"], out["iHon"] = assemble(*graph["Hon"], rows_on)
     out["Hoff"], out["iHoff"] = assemble(*graph["Hoff"], rows_off)
     return out
+
+
+# ----------------------------------------------------------------------
+# STRU / CSR writers (synthetic-data harness): inverses of the parsers
+# ----------------------------------------------------------------------
+
+_Z2SYM = {z: s for s, z in _SYM2Z.items()}
+
+
+def _orb_name(sym: str, z: int, basis) -> str:
+    """Encode the species' valid-orbital composition as an ABACUS .orb
+    filename (the count source for parse_stru -> orbital_count_from_name)."""
+    counts: Dict[str, int] = {}
+    slot_of = []
+    for _, ir in basis.orbital_irreps:
+        slot_of.append(ir.l)
+    # count valid slots per l for this species
+    ofs = 0
+    present = []
+    for _, ir in basis.orbital_irreps:
+        idx = list(range(ofs, ofs + ir.dim))
+        if all(i in set(basis.basis_def[z]) for i in idx):
+            present.append(ir.l)
+        ofs += ir.dim
+    lnames = "spdfg"
+    for l in present:
+        counts[lnames[l]] = counts.get(lnames[l], 0) + 1
+    comp = "".join(f"{n}{l}" for l, n in
+                   sorted(counts.items(), key=lambda t: lnames.index(t[0])))
+    return f"{sym}_{comp}.orb"
+
+
+def write_stru(path: str, *, z, pos, cell) -> None:
+    """Minimal STRU (Bohr inputs; atoms must already be species-grouped)."""
+    from ..models.basis import get_basis_set
+
+    z = np.asarray(z)
+    basis = get_basis_set("abacus", 27)
+    sp: List[int] = []
+    for zz in z:
+        if int(zz) not in sp:
+            sp.append(int(zz))
+    # parser expects species-grouped atom blocks
+    order = np.argsort([sp.index(int(zz)) for zz in z], kind="stable")
+    assert np.all(order == np.arange(len(z))), \
+        "write_stru requires species-grouped atom order"
+    lines = ["ATOMIC_SPECIES"]
+    for zz in sp:
+        lines.append(f"{_Z2SYM[zz]} 1.0 {_Z2SYM[zz]}.upf")
+    lines += ["", "NUMERICAL_ORBITAL"]
+    for zz in sp:
+        lines.append(_orb_name(_Z2SYM[zz], zz, basis))
+    lines += ["", "LATTICE_CONSTANT", "1.0", "", "LATTICE_VECTORS"]
+    for row in np.asarray(cell, float):
+        lines.append("  " + "  ".join(f"{v:.10f}" for v in row))
+    lines += ["", "ATOMIC_POSITIONS", "Cartesian"]
+    for zz in sp:
+        lines.append(_Z2SYM[zz])
+        lines.append("0.0")
+        idx = [i for i in range(len(z)) if int(z[i]) == zz]
+        lines.append(str(len(idx)))
+        for i in idx:
+            p = np.asarray(pos, float)[i]
+            lines.append("  " + "  ".join(f"{v:.10f}" for v in p) + " 1 1 1")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def _write_csr_file(path: str, header: str, no_u: int, mats: Dict) -> None:
+    from scipy.sparse import csr_matrix
+
+    shifts = sorted(mats.keys())
+    lines = [f"Matrix Dimension of {header}: {no_u}",
+             f"Matrix number of {header}: {len(shifts)}"]
+    for cs in shifts:
+        m = csr_matrix(mats[cs])
+        m.eliminate_zeros()
+        lines.append(f"{cs[0]} {cs[1]} {cs[2]} {m.nnz}")
+        if m.nnz == 0:
+            continue
+        lines.append(" ".join(f"{v:.12e}" for v in m.data))
+        lines.append(" ".join(str(int(c)) for c in m.indices))
+        lines.append(" ".join(str(int(r)) for r in m.indptr))
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def write_abacus_csr(out_dir: str, *, z, num_orbs, edge_src, edge_dst,
+                     cell_shift, Hon, Hoff, Son, Soff,
+                     H0on=None, H0off=None) -> None:
+    """Write data-HR/SR(-H0R)-sparse_SPIN0.csr containers that
+    build_graph_from_csr round-trips (H stored in Ry like ABACUS; S raw)."""
+    import os as _os
+
+    num_orbs = np.asarray(num_orbs, np.int64)
+    no_u = int(num_orbs.sum())
+    indo = np.concatenate([[0], np.cumsum(num_orbs[:-1])])
+    edge_src = np.asarray(edge_src, np.int64)
+    edge_dst = np.asarray(edge_dst, np.int64)
+    cell_shift = np.asarray(cell_shift, np.int64).reshape(-1, 3)
+
+    def assemble(on_blocks, off_blocks, to_ry):
+        mats: Dict[Tuple[int, int, int], np.ndarray] = {}
+
+        def mat(cs):
+            if cs not in mats:
+                mats[cs] = np.zeros((no_u, no_u))
+            return mats[cs]
+
+        scale = (1.0 / RY2HA) if to_ry else 1.0
+        for ia, blk in enumerate(on_blocks):
+            m = mat((0, 0, 0))
+            m[indo[ia] : indo[ia] + num_orbs[ia],
+              indo[ia] : indo[ia] + num_orbs[ia]] += np.asarray(blk) * scale
+        for e, blk in enumerate(off_blocks):
+            ia, ja = int(edge_src[e]), int(edge_dst[e])
+            m = mat(tuple(cell_shift[e]))
+            m[indo[ia] : indo[ia] + num_orbs[ia],
+              indo[ja] : indo[ja] + num_orbs[ja]] += np.asarray(blk) * scale
+        return mats
+
+    _write_csr_file(_os.path.join(out_dir, "data-HR-sparse_SPIN0.csr"),
+                    "H(R)", no_u, assemble(Hon, Hoff, True))
+    _write_csr_file(_os.path.join(out_dir, "data-SR-sparse_SPIN0.csr"),
+                    "S(R)", no_u, assemble(Son, Soff, False))
+    if H0on is not None:
+        _write_csr_file(_os.path.join(out_dir, "data-H0R-sparse_SPIN0.csr"),
+                        "H0(R)", no_u, assemble(H0on, H0off, True))

@@ -294,3 +294,176 @@ def pack_crystal_siesta(graph: Dict, fdf: FDFStructure, nao_max: int,
             _dense_rows(graph["Hoff"][s], z[src], z[dst], basis, nao_max)
             for s in range(len(graph["Hoff"]))], axis=1)
     return out
+
+
+# ----------------------------------------------------------------------
+# HSX writer (synthetic-data harness): inverse of parse_hsx
+# ----------------------------------------------------------------------
+
+_ELEMENT = {1: "H", 6: "C", 8: "O", 14: "Si", 26: "Fe"}
+
+
+class _FortranWriter:
+    def __init__(self):
+        self.parts: List[bytes] = []
+
+    def record(self, data: bytes):
+        n = struct.pack("<i", len(data))
+        self.parts.append(n + data + n)
+
+    def ints(self, a):
+        self.record(np.asarray(a, "<i4").tobytes())
+
+    def floats(self, a):
+        self.record(np.asarray(a, "<f4").tobytes())
+
+    def doubles(self, a):
+        self.record(np.asarray(a, "<f8").tobytes())
+
+    def tobytes(self) -> bytes:
+        return b"".join(self.parts)
+
+
+def write_hsx(path: str, *, z, pos, cell, num_orbs, edge_src, edge_dst,
+              cell_shift, Hon, Hoff, Son, Soff, zval=None) -> None:
+    """Write a SIESTA ``.HSX`` sparse container that ``parse_hsx`` (and the
+    native hsx_reader) round-trips exactly.
+
+    Inputs use this repo's graph conventions: valid-orbital dense blocks per
+    atom (``Hon``/``Son``: (no_i, no_i)) and per edge (``Hoff``/``Soff``:
+    (no_src, no_dst)); energies in Hartree (stored as Ry single precision,
+    the HSX on-disk unit); positions/cell in Bohr.  Used by the SK-teacher
+    end-to-end SIESTA training proof (tools/sk_dataset.py --format siesta),
+    so the ham_type='siesta' conventions get exercised by the FULL pipeline:
+    writer -> parse_hsx -> hsx_to_graph -> pack_crystal_siesta -> training.
+    """
+    z = np.asarray(z)
+    pos = np.asarray(pos, float)
+    cell = np.asarray(cell, float)
+    num_orbs = np.asarray(num_orbs, np.int64)
+    edge_src = np.asarray(edge_src, np.int64)
+    edge_dst = np.asarray(edge_dst, np.int64)
+    cell_shift = np.asarray(cell_shift, np.int64).reshape(-1, 3)
+    na = len(z)
+    no_u = int(num_orbs.sum())
+    indo = np.concatenate([[0], np.cumsum(num_orbs[:-1])])
+
+    # supercell cells: home cell first
+    cells = [(0, 0, 0)]
+    cell_of = {(0, 0, 0): 0}
+    for cs in map(tuple, cell_shift):
+        if cs not in cell_of:
+            cell_of[cs] = len(cells)
+            cells.append(cs)
+    n_cells = len(cells)
+    no_s = n_cells * no_u
+
+    # per unit-cell-orbital sparse rows
+    rows_cols: List[List[int]] = [[] for _ in range(no_u)]
+    rows_h: List[List[float]] = [[] for _ in range(no_u)]
+    rows_s: List[List[float]] = [[] for _ in range(no_u)]
+    rows_x: List[List[np.ndarray]] = [[] for _ in range(no_u)]
+
+    def add_block(ia, ja, cidx, H, S, xij):
+        H = np.asarray(H, float)
+        S = np.asarray(S, float)
+        for r in range(num_orbs[ia]):
+            io = indo[ia] + r
+            for c in range(num_orbs[ja]):
+                col = cidx * no_u + indo[ja] + c + 1  # 1-based
+                rows_cols[io].append(col)
+                rows_h[io].append(H[r, c] / RY2HA)
+                rows_s[io].append(S[r, c])
+                rows_x[io].append(xij)
+
+    for ia in range(na):
+        add_block(ia, ia, 0, Hon[ia], Son[ia], np.zeros(3))
+    for e in range(len(edge_src)):
+        ia, ja = int(edge_src[e]), int(edge_dst[e])
+        cs = tuple(cell_shift[e])
+        xij = pos[ja] - pos[ia] + np.asarray(cs, float) @ cell
+        add_block(ia, ja, cell_of[cs], Hoff[e], Soff[e], xij)
+
+    numh = np.array([len(c) for c in rows_cols], np.int64)
+    nh = int(numh.sum())
+
+    # species bookkeeping (order of first appearance)
+    sp_z: List[int] = []
+    for zz in z:
+        if int(zz) not in sp_z:
+            sp_z.append(int(zz))
+    isa = np.array([sp_z.index(int(zz)) + 1 for zz in z], np.int64)
+    sp_no = np.zeros(len(sp_z), np.int64)
+    for ia in range(na):
+        sp_no[isa[ia] - 1] = num_orbs[ia]
+    if zval is None:
+        basis = get_basis_set("siesta", 19)
+        zval_arr = np.array([float(basis.num_valence_table[s]) for s in sp_z])
+    else:
+        zval_arr = np.asarray([float(zval[s]) for s in sp_z])
+
+    w = _FortranWriter()
+    w.ints([no_u, no_s, 1, nh])
+    w.ints([0])  # gamma = false
+    indxuo = np.tile(np.arange(1, no_u + 1), n_cells)
+    w.ints(indxuo)
+    w.ints(numh)
+    for io in range(no_u):
+        w.ints(rows_cols[io])
+    for io in range(no_u):  # nspin = 1
+        w.floats(rows_h[io])
+    for io in range(no_u):
+        w.floats(rows_s[io])
+    qtot = float(sum(zval_arr[s - 1] for s in isa))
+    w.doubles([qtot, 0.0])
+    for io in range(no_u):
+        w.floats(np.concatenate([np.asarray(x, float) for x in rows_x[io]])
+                 if rows_x[io] else np.zeros(0))
+    w.ints([len(sp_z)])
+    rec = b""
+    for s, zz in enumerate(sp_z):
+        label = _ELEMENT.get(zz, f"Z{zz}").encode().ljust(20)
+        rec += label + struct.pack("<d", zval_arr[s]) + struct.pack(
+            "<i", int(sp_no[s]))
+    w.record(rec)
+    for s in range(len(sp_z)):
+        for o in range(int(sp_no[s])):
+            w.ints([1, 0, 1])  # nquant, lquant, zeta (skipped by readers)
+    w.ints([na])
+    w.ints(isa)
+    pair = np.zeros(2 * no_u, np.int64)
+    io = 0
+    for ia in range(na):
+        for o in range(num_orbs[ia]):
+            pair[2 * io] = ia + 1
+            pair[2 * io + 1] = o + 1
+            io += 1
+    w.ints(pair)
+    with open(path, "wb") as f:
+        f.write(w.tobytes())
+
+
+def write_fdf(path: str, *, z, pos, cell) -> None:
+    """Minimal FDF structure file (Bohr inputs) that parse_fdf reads back."""
+    z = np.asarray(z)
+    pos_ang = np.asarray(pos, float) * AU2ANG
+    cell_ang = np.asarray(cell, float) * AU2ANG
+    sp = []
+    for zz in z:
+        if int(zz) not in sp:
+            sp.append(int(zz))
+    lines = ["LatticeConstant 1.0 Ang", "%block LatticeVectors"]
+    for row in cell_ang:
+        lines.append("  " + "  ".join(f"{v:.10f}" for v in row))
+    lines += ["%endblock LatticeVectors", "AtomicCoordinatesFormat Ang",
+              "%block ChemicalSpeciesLabel"]
+    for i, zz in enumerate(sp):
+        lines.append(f"  {i + 1}  {zz}  {_ELEMENT.get(zz, f'Z{zz}')}")
+    lines += ["%endblock ChemicalSpeciesLabel",
+              "%block AtomicCoordinatesAndAtomicSpecies"]
+    for p, zz in zip(pos_ang, z):
+        lines.append("  " + "  ".join(f"{v:.10f}" for v in p)
+                     + f"  {sp.index(int(zz)) + 1}")
+    lines += ["%endblock AtomicCoordinatesAndAtomicSpecies"]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")

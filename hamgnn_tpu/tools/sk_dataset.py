@@ -348,6 +348,44 @@ class SOCTerms:
         return Hr_on, Hi_on, Hr_off, Hi_off, Lon
 
 
+def write_structure_dir_siesta(d: str, teacher: SKTeacher, z, pos, cell
+                               ) -> None:
+    """Write input.fdf + siesta.HSX + H0.HSX for a crystal (ham_type=siesta).
+
+    The blocks are the teacher's valid-orbital blocks in SIESTA orbital
+    order (the merge matrix folds the siesta minus_index signs), so the
+    FULL SIESTA pipeline — write_hsx -> parse_hsx/hsx_reader ->
+    hsx_to_graph -> pack_crystal_siesta -> training -> band_cal — exercises
+    those conventions end to end."""
+    from ..interfaces.siesta import write_fdf, write_hsx
+
+    os.makedirs(d, exist_ok=True)
+    data = teacher.build(z, pos, cell)
+    write_fdf(os.path.join(d, "input.fdf"), z=z, pos=pos, cell=cell)
+    common = dict(z=z, pos=pos, cell=cell, num_orbs=data["num_orbs"],
+                  edge_src=data["edge_src"], edge_dst=data["edge_dst"],
+                  cell_shift=data["cell_shift"])
+    write_hsx(os.path.join(d, "siesta.HSX"), Hon=data["Hon"],
+              Hoff=data["Hoff"], Son=data["Son"], Soff=data["Soff"], **common)
+    write_hsx(os.path.join(d, "H0.HSX"), Hon=data["H0on"],
+              Hoff=data["H0off"], Son=data["Son"], Soff=data["Soff"], **common)
+
+
+def write_structure_dir_abacus(d: str, teacher: SKTeacher, z, pos, cell
+                               ) -> None:
+    """Write STRU + CSR containers for a crystal (ham_type=abacus)."""
+    from ..interfaces.abacus import write_abacus_csr, write_stru
+
+    os.makedirs(d, exist_ok=True)
+    data = teacher.build(z, pos, cell)
+    write_stru(os.path.join(d, "STRU"), z=z, pos=pos, cell=cell)
+    write_abacus_csr(
+        d, z=z, num_orbs=data["num_orbs"], edge_src=data["edge_src"],
+        edge_dst=data["edge_dst"], cell_shift=data["cell_shift"],
+        Hon=data["Hon"], Hoff=data["Hoff"], Son=data["Son"],
+        Soff=data["Soff"], H0on=data["H0on"], H0off=data["H0off"])
+
+
 def write_structure_dir(d: str, teacher: SKTeacher, z, pos, cell,
                         soc: "SOCTerms" = None) -> None:
     """Write openmx.dat / openmx.scfout / overlap.scfout (H0) for a crystal.
@@ -466,9 +504,15 @@ def main(argv=None):
     ap.add_argument("--soc", action="store_true",
                     help="add an on-site atomic SOC term (so3 ksi*L form) and "
                          "write SpinP_switch=3 non-collinear scfout files")
+    ap.add_argument("--format", default="openmx",
+                    choices=("openmx", "siesta", "abacus"),
+                    help="DFT-code container format (and basis conventions)")
     args = ap.parse_args(argv)
 
-    teacher = SKTeacher(nao_max=args.nao_max, seed=args.seed)
+    if args.format != "openmx":
+        assert not args.soc, "--soc is the openmx (scfout) pipeline"
+    teacher = SKTeacher(ham_type=args.format, nao_max=args.nao_max,
+                        seed=args.seed)
     soc = SOCTerms(teacher.basis, seed=args.seed) if args.soc else None
     protos = {
         "si": _fcc_primitive(A_SI, 14, 14),
@@ -481,23 +525,30 @@ def main(argv=None):
         print(f"{name}: min eig S(k) = {lo:.4f}")
         assert lo > 0.05, f"overlap not safely positive definite for {name}"
 
+    writers = {
+        "openmx": lambda d, z, pos, cell: write_structure_dir(
+            d, teacher, z, pos, cell, soc=soc),
+        "siesta": lambda d, z, pos, cell: write_structure_dir_siesta(
+            d, teacher, z, pos, cell),
+        "abacus": lambda d, z, pos, cell: write_structure_dir_abacus(
+            d, teacher, z, pos, cell),
+    }
+    writer = writers[args.format]
+
     rng = np.random.RandomState(args.seed + 1)
     idx = 0
     for name, count in (("si", args.n_si), ("c", args.n_c), ("sic", args.n_sic)):
         for _ in range(count):
             cell, pos, z = rattled(rng, protos[name])
-            write_structure_dir(
-                os.path.join(args.out, f"struct_{idx:04d}"), teacher, z, pos,
-                cell, soc=soc)
+            writer(os.path.join(args.out, f"struct_{idx:04d}"), z, pos, cell)
             idx += 1
     print(f"wrote {idx} structures under {args.out}")
 
     if args.band_set:
         for name, proto in protos.items():
             cell, pos, z = proto
-            write_structure_dir(
-                os.path.join(args.out + "_band", f"pristine_{name}"),
-                teacher, z, pos, cell, soc=soc)
+            writer(os.path.join(args.out + "_band", f"pristine_{name}"),
+                   z, pos, cell)
         print(f"wrote pristine band-test structures under {args.out}_band")
 
 

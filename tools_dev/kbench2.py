@@ -31,6 +31,16 @@ def run_one(plan: str, tf: int, tb: int):
     from hamgnn_tpu.utils.profiling import (device_time_ms,
                                             enable_persistent_compile_cache)
 
+    # tile overrides only apply via env vars read at hamgnn_tpu.e3.pallas_tp
+    # IMPORT time (module-level TILE_FWD/TILE_BWD); an in-process call with
+    # different tf/tb would silently benchmark stale tiles while printing
+    # the requested values (ADVICE r3) — the subprocess re-exec path sets
+    # the env before import, so assert the env actually matches.
+    import os as _os
+    assert int(_os.environ.get("HAMGNN_TP_TILE_FWD", 0)) == tf and         int(_os.environ.get("HAMGNN_TP_TILE_BWD", 0)) == tb, (
+        "run_one must execute in a subprocess with HAMGNN_TP_TILE_FWD/BWD "
+        f"set to ({tf}, {tb}) before import (see main)")
+
     enable_persistent_compile_cache()
     from hamgnn_tpu.e3.irreps import Irreps
     from hamgnn_tpu.e3.packed_tp import get_plan

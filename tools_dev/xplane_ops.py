@@ -20,6 +20,9 @@ def main():
     trace_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/hamgnn_trace"
     n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     paths = glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True)
+    if not paths:
+        sys.exit(f"no *.xplane.pb files under {trace_dir} — capture a trace "
+                 "first (e.g. tools_dev/trace_step.py)")
     sp = xplane_pb2.XSpace()
     with open(paths[0], "rb") as f:
         sp.ParseFromString(f.read())
