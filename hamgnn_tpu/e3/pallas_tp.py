@@ -112,8 +112,13 @@ def _mxu_dot_general(a, b, dims, bf16: bool):
 # fwd tiles are CAPPED at 256: measured on v5e, fwd@256 beats fwd@512/1024
 # by 6-10% on both bench pipelines (smaller live slabs schedule better) even
 # when more VMEM is available.
+# The bwd budget is tight by design: the example-config node plan
+# (bwd_words 27.5k, ~35% heavier than the bench plan's 20.3k) triggers
+# ~90 MB of Mosaic register-allocator SPILLS at tile 512 (132.6 MB total,
+# measured VMEM OOM during sk_siesta training) that the word formula cannot
+# see — so anything heavier than the bench plan must drop to tile 256.
 _FWD_BUDGET_WORDS = 15_000_000
-_BWD_BUDGET_WORDS = 30_000_000
+_BWD_BUDGET_WORDS = 22_000_000
 _FWD_TILE_CAP = 256
 _BWD_TILE_CAP = 512
 

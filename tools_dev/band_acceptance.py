@@ -10,8 +10,15 @@ Usage (after training examples/sk/config.yaml to convergence):
 
     python tools_dev/band_acceptance.py [--skip-predict] [--window 5.0]
 
+SIESTA / ABACUS variants (after examples/sk_siesta / sk_abacus training):
+
+    python tools_dev/band_acceptance.py --ham-type siesta --nao 19 \
+        --config examples/sk_siesta/config_band_test.yaml \
+        --graph datasets/sk_siesta_band_graph/graph_data.npz \
+        --out train_out/sk_siesta_band_pred
+
 Prints one JSON line with max/mean band deviations (meV) and writes
-band plots under train_out/sk_band_pred/.
+band plots under the output dir.
 """
 
 import argparse
@@ -31,12 +38,17 @@ def main():
     ap.add_argument("--window", type=float, default=5.0,
                     help="eV window around E_F for the comparison")
     ap.add_argument("--nk", type=int, default=60)
+    ap.add_argument("--ham-type", default="openmx")
+    ap.add_argument("--nao", type=int, default=14)
+    ap.add_argument("--config", default="examples/sk/config_band_test.yaml")
+    ap.add_argument("--graph", default="datasets/sk_band_graph/graph_data.npz")
+    ap.add_argument("--out", default="train_out/sk_band_pred")
     args = ap.parse_args()
 
     if not args.skip_predict:
         r = subprocess.run(
             [sys.executable, "-m", "hamgnn_tpu.cli", "--config",
-             "examples/sk/config_band_test.yaml"], check=False)
+             args.config], check=False)
         if r.returncode != 0:
             sys.exit("prediction pass failed")
 
@@ -46,12 +58,12 @@ def main():
     from hamgnn_tpu.tools.band_cal import (band_structure_for_crystal,
                                            plot_bands)
 
-    nao = 14
-    basis = get_basis_set("openmx", nao)
-    graphs = load_graph_npz("datasets/sk_band_graph/graph_data.npz")
-    H_flat = np.load("train_out/sk_band_pred/prediction_hamiltonian.npy")
+    nao = args.nao
+    basis = get_basis_set(args.ham_type, nao)
+    graphs = load_graph_npz(args.graph)
+    H_flat = np.load(os.path.join(args.out, "prediction_hamiltonian.npy"))
 
-    out_dir = "train_out/sk_band_pred"
+    out_dir = args.out
     os.makedirs(out_dir, exist_ok=True)
     max_dev = mean_devs = 0.0
     devs = []
