@@ -263,10 +263,16 @@ def train_and_evaluate(config) -> None:
             n_graph = n_graph or max(1, n_dev // max(n_data, 1))
             n_data = n_data or max(1, n_dev // n_graph)
         edge_q = int(par.get("edge_quantum", 64) or 64)
+        if getattr(model.output, "calculate_band_energy", False) and n_data != 1:
+            # band losses under the partition run whole-crystal solves on
+            # all_gathered rows — one crystal per step (big-crystal regime)
+            n_graph = max(n_graph * n_data, n_graph)
+            n_data = 1
         trainer = HaloTrainer(model, n_data=n_data, n_graph=n_graph,
                               edge_quantum=edge_q, **trainer_kwargs)
         data = HaloDataAdapter(data, n_data=n_data, n_graph=n_graph,
-                               edge_quantum=edge_q)
+                               edge_quantum=edge_q,
+                               band_mode=trainer._band_mode)
         example = data.example_graph()
     else:
         trainer = Trainer(model, **trainer_kwargs)

@@ -39,9 +39,11 @@ from ..data.graph import Graph, pad_and_batch
 from ..train.trainer import Trainer
 from .halo_model import (
     build_halo_inputs,
+    edge_unperm_for_plan,
     halo_bucket_sizes,
     make_halo_loss_fn,
     make_halo_train_step,
+    make_plan,
     shard_halo_inputs,
     stack_halo_inputs,
 )
@@ -58,11 +60,13 @@ class HaloDataAdapter:
     dataset-wide common bucket sizes so each split compiles once);
     test_batches stays the plain padded-Graph stream for prediction export."""
 
-    def __init__(self, dm, n_data: int, n_graph: int, edge_quantum: int = 64):
+    def __init__(self, dm, n_data: int, n_graph: int, edge_quantum: int = 64,
+                 band_mode: bool = False):
         self.dm = dm
         self.n_data = n_data
         self.n_graph = n_graph
         self.edge_quantum = edge_quantum
+        self.band_mode = band_mode
         gs = dm.graphs
         self.node_bucket = _bucket(max(c["z"].shape[0] for c in gs),
                                    dm.node_quantum)
@@ -79,7 +83,8 @@ class HaloDataAdapter:
         return self._pad(self.dm.graphs[self.dm.train_idx[0]
                                         if self.dm.train_idx else 0])
 
-    def _halo_batches(self, indices, shuffle: bool, rng=None):
+    def _halo_batches(self, indices, shuffle: bool, rng=None,
+                      with_graph: bool = False):
         order = list(indices)
         if not order:
             return
@@ -92,14 +97,22 @@ class HaloDataAdapter:
             order = order + order[: d - len(order) % d]
         for i in range(0, len(order), d):
             graphs = [self._pad(self.dm.graphs[j]) for j in order[i : i + d]]
-            yield stack_halo_inputs(graphs, self.n_graph, self.edge_quantum,
-                                    force_sizes=self.halo_sizes)
+            inputs = stack_halo_inputs(graphs, self.n_graph, self.edge_quantum,
+                                       force_sizes=self.halo_sizes)
+            if with_graph:
+                # band-loss mode (n_data=1): the whole-crystal Graph rides
+                # along replicated for the k-space assembly
+                yield inputs, graphs[0]
+            else:
+                yield inputs
 
     def train_batches(self, rng=None):
-        return self._halo_batches(self.dm.train_idx, shuffle=True, rng=rng)
+        return self._halo_batches(self.dm.train_idx, shuffle=True, rng=rng,
+                                  with_graph=self.band_mode)
 
     def val_batches(self):
-        return self._halo_batches(self.dm.val_idx, shuffle=False)
+        return self._halo_batches(self.dm.val_idx, shuffle=False,
+                                  with_graph=self.band_mode)
 
     def test_batches(self):
         # plain Graphs: eval_epoch(collect=True) runs the canonical
@@ -129,21 +142,58 @@ class HaloTrainer(Trainer):
 
     # -- steps ------------------------------------------------------------
 
+    @property
+    def _band_mode(self) -> bool:
+        """Band losses under the partition: whole-crystal solve on
+        all_gathered rows; supported with n_data=1 (big-crystal regime)."""
+        out = getattr(self.model, "output", None)
+        return bool(out is not None
+                    and getattr(out, "calculate_band_energy", False))
+
     def _halo_step(self):
         if self._hstep is None:
-            self._hstep = make_halo_train_step(
-                self.model, self.tx, self.losses, self.mesh, data_axis="data")
+            if self._band_mode:
+                assert self.n_data == 1, \
+                    "halo band losses support n_data=1 (one crystal/step)"
+                self._hstep = make_halo_train_step(
+                    self.model, self.tx, self.losses, self.mesh,
+                    data_axis=None, with_band=True)
+            else:
+                self._hstep = make_halo_train_step(
+                    self.model, self.tx, self.losses, self.mesh,
+                    data_axis="data")
         return self._hstep
 
     def _halo_eval(self):
         if self._heval is None:
-            loss_fn = make_halo_loss_fn(self.model, self.mesh, self.losses,
-                                        data_axis="data")
+            if self._band_mode:
+                loss_fn = make_halo_loss_fn(self.model, self.mesh,
+                                            self.losses, data_axis=None,
+                                            with_band=True)
+            else:
+                loss_fn = make_halo_loss_fn(self.model, self.mesh,
+                                            self.losses, data_axis="data")
             self._heval = jax.jit(loss_fn)
         return self._heval
 
+    def _band_args(self, graph: Graph):
+        """(band_graph, k_vecs, edge_unperm) for a band-mode halo step."""
+        from ..physics.kpoints import k_vecs_for_graph
+
+        out = self.model.output
+        k_vecs = jnp.asarray(k_vecs_for_graph(
+            graph, out.num_k, getattr(out, "k_path", None)))
+        plan = make_plan(
+            np.asarray(graph.edge_index), np.asarray(graph.edge_mask),
+            graph.num_nodes, self.n_graph, edge_quantum=self.edge_quantum,
+            inv_edge_idx=np.asarray(graph.inv_edge_idx))
+        unperm = jnp.asarray(edge_unperm_for_plan(plan, graph.num_edges))
+        return graph, k_vecs, unperm
+
     def _shard(self, inputs: Dict[str, np.ndarray]):
-        return shard_halo_inputs(self.mesh, inputs, data_axis="data")
+        return shard_halo_inputs(
+            self.mesh, inputs,
+            data_axis=None if self._band_mode else "data")
 
     # -- loops ------------------------------------------------------------
 
@@ -151,9 +201,18 @@ class HaloTrainer(Trainer):
         losses = []
         lr = jnp.asarray(self.sched.lr, jnp.float32)
         step = self._halo_step()
-        for inputs in batches:
-            self.params, self.opt_state, loss, _ = step(
-                self.params, self.opt_state, self._shard(inputs), lr)
+        for item in batches:
+            if self._band_mode:
+                inputs, graph = item
+                inputs = {k: v[0] for k, v in inputs.items()}  # n_data=1
+                bg, kv, up = self._band_args(graph)
+                self.params, self.opt_state, loss, _ = step(
+                    self.params, self.opt_state, self._shard(inputs), lr,
+                    bg, kv, up)
+            else:
+                inputs = item
+                self.params, self.opt_state, loss, _ = step(
+                    self.params, self.opt_state, self._shard(inputs), lr)
             losses.append(loss)
         if not losses:
             return 0.0
@@ -174,8 +233,15 @@ class HaloTrainer(Trainer):
                 self.params, self.opt_state = mesh_params, mesh_opt
         ev = self._halo_eval()
         losses, aggs, n = [], [], 0
-        for inputs in batches:
-            loss, logs = ev(self.params, self._shard(inputs))
+        for item in batches:
+            if self._band_mode:
+                inputs, graph = item
+                inputs = {k: v[0] for k, v in inputs.items()}
+                bg, kv, up = self._band_args(graph)
+                loss, logs = ev(self.params, self._shard(inputs), bg, kv, up)
+            else:
+                inputs = item
+                loss, logs = ev(self.params, self._shard(inputs))
             losses.append(loss)
             aggs.append(logs)
             n += 1

@@ -361,3 +361,65 @@ def test_cli_halo_soc_dryrun(tmp_path):
     with open(os.path.join(data_dir, "out", "metrics.jsonl")) as f:
         rec = json.loads(f.readlines()[-1])
     assert np.isfinite(rec["train_loss"]) and np.isfinite(rec["val_loss"]), rec
+
+
+def test_cli_halo_band_dryrun(tmp_path):
+    """Product CLI with calculate_band_energy: true under halo: band-energy
+    secondary loss trains under the edge partition through the trainer
+    (band-mode n_data=1 coercion, per-batch band graph + k_vecs plumbing)."""
+    import json
+    import os
+
+    from hamgnn_tpu.cli import train_and_evaluate
+    from hamgnn_tpu.data.dataset import save_graph_npz
+    from hamgnn_tpu.train.config import load_config
+    from util_fixtures import make_crystal, add_random_hamiltonian_targets
+
+    rng = np.random.default_rng(5)
+    crystals = []
+    for _ in range(4):
+        c = make_crystal(rng, n_atoms=3, species=(1, 6), cell_size=5.0,
+                         cutoff=4.0)
+        crystals.append(add_random_hamiltonian_targets(rng, c, nao_max=14))
+    data_dir = str(tmp_path)
+    save_graph_npz(os.path.join(data_dir, "graph_data.npz"), crystals)
+
+    cfg = load_config(None, overrides={
+        "setup": {
+            "stage": "fit",
+            "parallel": {"mode": "halo", "n_data": 2, "n_graph": 2,
+                         "edge_quantum": 64},
+        },
+        "dataset_params": {
+            "graph_data_path": data_dir, "batch_size": 1,
+            "train_ratio": 0.5, "val_ratio": 0.25, "test_ratio": 0.25,
+        },
+        "losses_metrics": {
+            "losses": [
+                {"metric": "mae", "prediction": "hamiltonian",
+                 "target": "hamiltonian", "loss_weight": 27.211},
+                {"metric": "mae", "prediction": "band_energy",
+                 "target": "band_energy", "loss_weight": 0.01},
+            ],
+            "metrics": [
+                {"metric": "mae", "prediction": "hamiltonian",
+                 "target": "hamiltonian"},
+            ],
+        },
+        "optim_params": {"min_epochs": 0, "max_epochs": 1, "stop_patience": 1},
+        "profiler_params": {"train_dir": os.path.join(data_dir, "out")},
+        "representation_nets": {"HamGNN_pre": {
+            "irreps_node_features": "8x0e+4x0o+4x1o+2x1e+2x2e+1x2o",
+            "irreps_edge_sh": "0e + 1o + 2e",
+            "num_layers": 1, "num_radial": 8, "cutoff": 4.0,
+            "radial_MLP": [16], "num_types": 20,
+        }},
+        "output_nets": {"HamGNN_out": {
+            "nao_max": 14, "add_H0": False, "zero_point_shift": False,
+            "calculate_band_energy": True, "num_k": 2, "band_num_control": 2,
+        }},
+    })
+    train_and_evaluate(cfg)
+    with open(os.path.join(data_dir, "out", "metrics.jsonl")) as f:
+        rec = json.loads(f.readlines()[-1])
+    assert np.isfinite(rec["train_loss"]) and np.isfinite(rec["val_loss"]), rec
