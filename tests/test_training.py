@@ -308,7 +308,11 @@ def test_no_silent_recompile_on_second_step():
     for _ in range(3):
         params, opt_state = step(params, opt_state, graph)
     jax.block_until_ready(params)
-    assert step._cache_size() == 1
+    # the regression guarded here is silent GROWTH (a committed-ness flip
+    # used to double every compile -> size 2); under full-suite memory
+    # pressure the runtime may also EVICT entries (observed size 0), which
+    # is not the bug -- so assert no growth rather than exact presence
+    assert step._cache_size() <= 1
 
     # Trainer path: two steps through the same cached bucket entry
     from hamgnn_tpu.train.config import load_config
@@ -335,4 +339,4 @@ def test_no_silent_recompile_on_second_step():
     tr.train_epoch([g2])
     tr.train_epoch([g2])
     (fn,) = tr._train_step_cache.values()
-    assert fn._cache_size() == 1
+    assert fn._cache_size() <= 1
