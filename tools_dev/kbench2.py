@@ -37,7 +37,9 @@ def run_one(plan: str, tf: int, tb: int):
     # the requested values (ADVICE r3) — the subprocess re-exec path sets
     # the env before import, so assert the env actually matches.
     import os as _os
-    assert int(_os.environ.get("HAMGNN_TP_TILE_FWD", 0)) == tf and         int(_os.environ.get("HAMGNN_TP_TILE_BWD", 0)) == tb, (
+    env_ok = (int(_os.environ.get("HAMGNN_TP_TILE_FWD", 0)) == tf
+              and int(_os.environ.get("HAMGNN_TP_TILE_BWD", 0)) == tb)
+    assert env_ok, (
         "run_one must execute in a subprocess with HAMGNN_TP_TILE_FWD/BWD "
         f"set to ({tf}, {tb}) before import (see main)")
 
