@@ -552,5 +552,169 @@ def main(argv=None):
         print(f"wrote pristine band-test structures under {args.out}_band")
 
 
+
+
+class CollinearTerms:
+    """Collinear (sigma_z) Heisenberg-like spin splitting IN the magnetic
+    head's own function space (models/spin.py), so the spin-constrained
+    collinear model family can provably fit it:
+
+      J_on,i  = c_{z_i} per orbital-pair block (rank-0 merge expansion)
+      J_off,e = c_{z_src, z_dst} * (1 + r/r0) * exp(-r/r0) per block
+      H_sigma = H_SK + sign(sigma) * Delta  with Delta from the model's exact
+                heisenberg_terms (unit weights, magnetic = all atoms)
+
+    The teacher literally CALLS heisenberg_terms with these ground-truth J
+    arrays, so representability is by construction — any training floor is
+    model capacity/optimization, not teacher mismatch.
+    """
+
+    def __init__(self, basis, seed: int = 0, amp: float = 0.01,
+                 zs=(14, 6), r0: float = 4.0):
+        from ..models.spin import _rank0_merge_matrix
+
+        self.nao = basis.nao_max
+        self.r0 = r0
+        rng = np.random.RandomState(seed + 77)
+        nb = len(basis.orbital_irreps) ** 2
+        self.M0 = _rank0_merge_matrix("openmx", self.nao)  # (nb, nao, nao)
+        self.c_on = {z: amp * rng.uniform(0.5, 1.5, size=nb) for z in zs}
+        self.c_off = {}
+        for zi in zs:
+            for zj in zs:
+                key = tuple(sorted((zi, zj)))
+                if key not in self.c_off:
+                    self.c_off[key] = amp * rng.uniform(0.3, 1.0, size=nb)
+
+    def j_arrays(self, z, src, dst, r):
+        """Full-nao (N, nao, nao) onsite and (E, nao, nao) offsite J."""
+        J_on = np.stack([
+            np.einsum("b,bij->ij", self.c_on[int(zz)], self.M0) for zz in z])
+        rad = (1.0 + r / self.r0) * np.exp(-r / self.r0)
+        J_off = np.stack([
+            np.einsum("b,bij->ij",
+                      self.c_off[tuple(sorted((int(z[s]), int(z[d]))))],
+                      self.M0) * rr
+            for s, d, rr in zip(src, dst, rad)])
+        return J_on, J_off
+
+
+def collinear_crystal(teacher: SKTeacher, col: CollinearTerms, z, pos, cell,
+                      rng) -> Dict[str, np.ndarray]:
+    """One crystal dict with collinear (N/E, 2, nao^2) targets + spins."""
+    import jax.numpy as jnp
+
+    from ..data.graph import pad_and_batch
+    from ..models.spin import heisenberg_terms
+
+    data = teacher.build(z, pos, cell)
+    bd = teacher.basis.basis_def
+    nao = teacher.nao
+    src, dst = data["edge_src"], data["edge_dst"]
+
+    def full(blocks, zrow, zcol):
+        out = np.zeros((len(blocks), nao, nao))
+        for k, (b, zr, zc) in enumerate(zip(blocks, zrow, zcol)):
+            out[k][np.ix_(bd[int(zr)], bd[int(zc)])] = b
+        return out
+
+    Hs_on = full(data["Hon"], z, z)
+    Hs_off = full(data["Hoff"], z[src], z[dst])
+    H0_on = full(data["H0on"], z, z)
+    H0_off = full(data["H0off"], z[src], z[dst])
+    S_on = full(data["Son"], z, z)
+    S_off = full(data["Soff"], z[src], z[dst])
+
+    m = rng.choice([-1.0, 1.0], size=len(z))
+    spin_vec = np.zeros((len(z), 3))
+    spin_vec[:, 2] = m
+    spin_length = np.ones(len(z))
+
+    vec = pos[dst] + (data["cell_shift"] @ cell) - pos[src]
+    r = np.linalg.norm(vec, axis=1)
+    J_on, J_off = col.j_arrays(z, src, dst, r)
+
+    c = {
+        "z": z, "pos": pos, "cell": cell[None],
+        "edge_index": np.stack([src, dst]),
+        "inv_edge_idx": inverse_edge_index(np.stack([src, dst]),
+                                           data["cell_shift"]),
+        "cell_shift": data["cell_shift"],
+        "nbr_shift": data["cell_shift"] @ cell,
+        "spin_vec": spin_vec, "spin_length": spin_length,
+    }
+    # the model's exact collinear Heisenberg math, with unit weights
+    graph = pad_and_batch([dict(c, Hon=np.zeros((len(z), nao * nao)),
+                                Hoff=np.zeros((len(src), nao * nao)))],
+                          node_bucket=len(z),
+                          edge_bucket=len(src))
+    hh_on, hh_off = heisenberg_terms(
+        graph, jnp.asarray(J_on), jnp.asarray(J_off),
+        jnp.asarray(np.ones_like(J_on)), jnp.asarray(np.ones_like(J_off)),
+        jnp.asarray(spin_vec), jnp.asarray(np.ones(len(z))),
+        soc=False, collinear=True)
+    hh_on = np.asarray(hh_on)
+    hh_off = np.asarray(hh_off)
+
+    def stack2(base, hh):
+        up = base + hh[:, 0, :, 0, :]
+        dn = base + hh[:, 1, :, 1, :]
+        return np.stack([up, dn], axis=1).reshape(len(base), 2, nao * nao)
+
+    def valid_mask(zrow, zcol):
+        mrow = np.zeros((len(zrow), nao))
+        for k, zr in enumerate(zrow):
+            mrow[k, bd[int(zr)]] = 1.0
+        mcol = np.zeros((len(zcol), nao))
+        for k, zc in enumerate(zcol):
+            mcol[k, bd[int(zc)]] = 1.0
+        return (mrow[:, :, None] * mcol[:, None, :]).reshape(-1, 1, nao * nao)
+
+    c["Hon"] = stack2(Hs_on, hh_on) * valid_mask(z, z)
+    c["Hoff"] = stack2(Hs_off, hh_off) * valid_mask(z[src], z[dst])
+    c["Hon0"] = np.repeat(H0_on.reshape(-1, 1, nao * nao), 2, axis=1) \
+        * valid_mask(z, z)
+    c["Hoff0"] = np.repeat(H0_off.reshape(-1, 1, nao * nao), 2, axis=1) \
+        * valid_mask(z[src], z[dst])
+    c["Son"] = S_on.reshape(-1, nao * nao)
+    c["Soff"] = S_off.reshape(-1, nao * nao)
+    return c
+
+
+def main_collinear(argv=None):
+    """Collinear spin-constrained dataset: graph_data.npz with
+    (rows, 2, nao^2) spin-channel targets + per-atom spins."""
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--n", type=int, default=100)
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--nao-max", type=int, default=14)
+    args = ap.parse_args(argv)
+
+    from ..data.dataset import save_graph_npz
+
+    teacher = SKTeacher(nao_max=args.nao_max, seed=args.seed)
+    col = CollinearTerms(teacher.basis, seed=args.seed)
+    protos = {
+        "si": _fcc_primitive(A_SI, 14, 14),
+        "c": _fcc_primitive(A_C, 6, 6),
+        "sic": _fcc_primitive(A_SIC, 14, 6),
+    }
+    rng = np.random.RandomState(args.seed + 1)
+    crystals = []
+    names = list(protos)
+    for i in range(args.n):
+        cell, pos, z = rattled(rng, protos[names[i % len(names)]])
+        crystals.append(collinear_crystal(teacher, col, z, pos, cell, rng))
+    os.makedirs(args.out, exist_ok=True)
+    save_graph_npz(os.path.join(args.out, "graph_data.npz"), crystals)
+    print(f"wrote {len(crystals)} collinear structures under {args.out}")
+
+
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+
+    if len(_sys.argv) > 1 and _sys.argv[1] == "collinear":
+        main_collinear(_sys.argv[2:])
+    else:
+        main()
