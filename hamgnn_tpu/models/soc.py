@@ -243,9 +243,9 @@ class HamGNNSOCOut(fnn.Module):
                 hs_off = h_spatial_off.reshape(-1, nao, nao)
                 if self.symmetrize:
                     n_e = hs_off.shape[0]
-                hs_inv = view.inv_exchange(
-                    hs_off.reshape(n_e, nao * nao)).reshape(n_e, nao, nao)
-                hs_off = 0.5 * (hs_off + jnp.swapaxes(hs_inv, -1, -2))
+                    hs_inv = view.inv_exchange(
+                        hs_off.reshape(n_e, nao * nao)).reshape(n_e, nao, nao)
+                    hs_off = 0.5 * (hs_off + jnp.swapaxes(hs_inv, -1, -2))
                 hs_on = hs_on * on_pair
                 hs_off = hs_off * off_pair
 
