@@ -25,6 +25,8 @@ _FIELDS = (
     "Hon", "Hoff", "Hon0", "Hoff0", "iHon", "iHoff", "iHon0", "iHoff0",
     "Son", "Soff", "Lon", "Loff", "doping_charge",
     "H0_u", "H0_d", "H_u", "H_d",
+    # spin-constrained inputs (reference hamgnn_output.py:3222,3283)
+    "spin_vec", "spin_length",
 )
 
 

@@ -217,3 +217,20 @@ class TestCollinearBand:
                    "target": "band_energy", "loss_weight": 0.01}]
         total, logs = compute_losses(res, graph, losses)
         assert np.isfinite(float(total))
+
+
+def test_npz_roundtrip_preserves_spin_fields(tmp_path):
+    """Regression: spin_vec/spin_length must survive graph_data.npz save/load
+    (they were silently dropped by the dataset field filter, which zeroed the
+    magnetic mask and killed the Heisenberg pathway at training time)."""
+    from hamgnn_tpu.data.dataset import load_graph_npz, save_graph_npz
+
+    rng = np.random.default_rng(3)
+    c = make_crystal(rng, n_atoms=3, species=(6, 14))
+    c["spin_vec"] = rng.normal(size=(3, 3))
+    c["spin_length"] = np.linalg.norm(c["spin_vec"], axis=-1)
+    path = str(tmp_path / "graph_data.npz")
+    save_graph_npz(path, [c])
+    back = load_graph_npz(path)[0]
+    np.testing.assert_allclose(back["spin_vec"], c["spin_vec"])
+    np.testing.assert_allclose(back["spin_length"], c["spin_length"])
