@@ -192,6 +192,14 @@ def prepare_dataset(config):
         graphs = load_graph_lmdb(path)
     else:
         graphs = load_graph_npz(path)
+    # fail fast on elements without a basis_def entry (reference
+    # hamgnn_output.py:2874-2914) instead of training on zero-masked blocks
+    from .models.basis import get_basis_set, validate_elements_in_basis_def
+
+    out = config.output_nets.HamGNN_out
+    basis = get_basis_set(out.ham_type.lower(), out.nao_max)
+    all_z = np.unique(np.concatenate([np.asarray(g["z"]) for g in graphs]))
+    validate_elements_in_basis_def(all_z, basis)
     return GraphDataModule(
         graphs,
         batch_size=config.dataset_params.batch_size,

@@ -230,6 +230,11 @@ def pack_crystal(
     src, dst = scf.edge_src, scf.edge_dst
     inv = inverse_edges(src, dst, scf.cell_shift)
     z = np.asarray(z, np.int64)
+    # fail fast on elements without a basis_def entry (reference
+    # hamgnn_output.py:2874-2914)
+    from ..models.basis import validate_elements_in_basis_def
+
+    validate_elements_in_basis_def(z, basis)
 
     out = {
         "z": z,

@@ -321,6 +321,31 @@ def get_basis_set(ham_type: str, nao_max: int) -> BasisSetInfo:
     return _REGISTRY[key]()
 
 
+# minimal Z -> symbol table for error messages (no external deps)
+_SYMBOLS = (
+    "n H He Li Be B C N O F Ne Na Mg Al Si P S Cl Ar K Ca Sc Ti V Cr Mn Fe Co "
+    "Ni Cu Zn Ga Ge As Se Br Kr Rb Sr Y Zr Nb Mo Tc Ru Rh Pd Ag Cd In Sn Sb Te "
+    "I Xe Cs Ba La Ce Pr Nd Pm Sm Eu Gd Tb Dy Ho Er Tm Yb Lu Hf Ta W Re Os Ir "
+    "Pt Au Hg Tl Pb Bi Po At Rn Fr Ra Ac Th Pa U Np Pu").split()
+
+
+def validate_elements_in_basis_def(z, basis: BasisSetInfo) -> None:
+    """Hard-error when a structure contains an element with no ``basis_def``
+    entry for the configured (ham_type, nao_max) — otherwise the orbital mask
+    table silently zeroes every block of that species and training runs on
+    masked-to-zero garbage.  Parity with the reference's
+    ``validate_elements_in_basis_def`` (hamgnn_output.py:2874-2914)."""
+    zs = np.unique(np.asarray(z, dtype=np.int64))
+    missing = [int(v) for v in zs if int(v) not in basis.basis_def]
+    if missing:
+        names = ", ".join(
+            f"{_SYMBOLS[v]} (Z={v})" if 0 < v < len(_SYMBOLS) else f"Z={v}"
+            for v in missing)
+        raise ValueError(
+            f"elements missing from basis_def for ham_type="
+            f"{basis.ham_type!r}, nao_max={basis.nao_max}: {names}")
+
+
 def hamiltonian_irreps(basis: BasisSetInfo) -> Irreps:
     """Irreps of the flattened Hamiltonian block: for each (l_i, l_j) orbital
     pair, L = |l_i - l_j| .. l_i + l_j with parity (-1)^(l_i + l_j)

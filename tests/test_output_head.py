@@ -420,3 +420,42 @@ class TestHSymAndPredictedOverlap:
         assert "H_sym" in res2
         assert np.isfinite(np.asarray(res2["H_sym"])).all()
         assert "band_energy" in res2
+
+
+class TestElementValidation:
+    def test_unknown_element_raises_with_name(self):
+        """Reference parity (hamgnn_output.py:2874-2914): a structure with an
+        element missing from basis_def must fail fast, naming the element,
+        instead of silently training on zero-masked blocks."""
+        import pytest as _pytest
+
+        from hamgnn_tpu.models.basis import (get_basis_set,
+                                             validate_elements_in_basis_def)
+
+        basis = get_basis_set("openmx", 14)
+        validate_elements_in_basis_def([6, 14], basis)  # covered: no raise
+        with _pytest.raises(ValueError, match=r"Au \(Z=79\)"):
+            validate_elements_in_basis_def([6, 79], basis)
+
+    def test_cli_dataset_validation(self, tmp_path):
+        """prepare_dataset hard-errors on an uncovered element."""
+        import numpy as np
+        import pytest as _pytest
+
+        from hamgnn_tpu.cli import prepare_dataset
+        from hamgnn_tpu.data.dataset import save_graph_npz
+        from hamgnn_tpu.train.config import load_config
+
+        from util_fixtures import add_random_hamiltonian_targets, make_crystal
+
+        rng = np.random.default_rng(0)
+        c = make_crystal(rng, n_atoms=3, species=(79,))
+        c = add_random_hamiltonian_targets(rng, c, nao_max=14)
+        save_graph_npz(str(tmp_path / "graph_data.npz"), [c])
+        cfg = load_config(overrides={
+            "dataset_params": {"graph_data_path": str(tmp_path)},
+            "output_nets": {"HamGNN_out": {"ham_type": "openmx",
+                                           "nao_max": 14}},
+        })
+        with _pytest.raises(ValueError, match="Z=79"):
+            prepare_dataset(cfg)
