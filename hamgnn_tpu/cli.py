@@ -78,9 +78,10 @@ def _band_control_kwargs(out) -> dict:
     int -> window of that many bands either side of half filling.
     dict {Z: count} -> per-species counts; the head exports the lowest
     ``max_bands`` (config key, default 32) bands plus a per-crystal mask.
-    Any other value (e.g. float fractional window) is warn-and-ignored,
-    matching the reference's silent ``band_num_control = None`` fallback
-    (hamgnn_output.py:826-830) so reference YAMLs never crash here.
+    Any other value (e.g. float fractional window) maps to ``None`` in the
+    reference (no truncation, hamgnn_output.py:826-830); static shapes need a
+    fixed window, so we warn and substitute a ±``max_bands`` window around
+    half filling instead of crashing on reference YAMLs.
     """
     bnc = out.get("band_num_control", 8)
     if bnc is None:
@@ -97,12 +98,15 @@ def _band_control_kwargs(out) -> dict:
         }
     import warnings
 
+    max_bands = int(out.get("max_bands", 32))
     warnings.warn(
         f"band_num_control={bnc!r}: only int / per-species dict are "
-        "supported; disabling the band window (reference parity: "
-        "hamgnn_output.py:826-830 sets band_num_control=None)",
+        f"supported. The reference treats this as band_num_control=None "
+        f"(no truncation, all bands; hamgnn_output.py:826-830); static "
+        f"shapes need a fixed window, so substituting a +/-{max_bands}-band "
+        f"window around half filling instead (set max_bands to widen it)",
         stacklevel=2)
-    return {"band_num_control": int(out.get("max_bands", 32))}
+    return {"band_num_control": max_bands}
 
 
 def _freeze_k_path(spec):

@@ -130,6 +130,7 @@ class HaloTrainer(Trainer):
         self.edge_quantum = edge_quantum
         self._hstep = None
         self._heval = None
+        self._plan_cache: Dict[tuple, jnp.ndarray] = {}
 
     # -- parameter placement --------------------------------------------
 
@@ -177,17 +178,28 @@ class HaloTrainer(Trainer):
         return self._heval
 
     def _band_args(self, graph: Graph):
-        """(band_graph, k_vecs, edge_unperm) for a band-mode halo step."""
+        """(band_graph, k_vecs, edge_unperm) for a band-mode halo step.
+
+        The O(E) host-side partition plan depends only on the crystal's edge
+        topology, so it is cached per topology across epochs; k_vecs are NOT
+        cached (k_path=None resamples random k-points every step, matching the
+        reference's per-forward k generation)."""
         from ..physics.kpoints import k_vecs_for_graph
 
         out = self.model.output
         k_vecs = jnp.asarray(k_vecs_for_graph(
             graph, out.num_k, getattr(out, "k_path", None)))
-        plan = make_plan(
-            np.asarray(graph.edge_index), np.asarray(graph.edge_mask),
-            graph.num_nodes, self.n_graph, edge_quantum=self.edge_quantum,
-            inv_edge_idx=np.asarray(graph.inv_edge_idx))
-        unperm = jnp.asarray(edge_unperm_for_plan(plan, graph.num_edges))
+        ei = np.asarray(graph.edge_index)
+        key = (int(graph.num_nodes), int(graph.num_edges),
+               hash(ei.tobytes()))
+        unperm = self._plan_cache.get(key)
+        if unperm is None:
+            plan = make_plan(
+                ei, np.asarray(graph.edge_mask),
+                graph.num_nodes, self.n_graph, edge_quantum=self.edge_quantum,
+                inv_edge_idx=np.asarray(graph.inv_edge_idx))
+            unperm = jnp.asarray(edge_unperm_for_plan(plan, graph.num_edges))
+            self._plan_cache[key] = unperm
         return graph, k_vecs, unperm
 
     def _shard(self, inputs: Dict[str, np.ndarray]):

@@ -177,6 +177,21 @@ def plot_bands(result: Dict[str, np.ndarray], labels: Sequence[str], path: str,
     plt.close(fig)
 
 
+def write_band_dat(result: Dict[str, np.ndarray], path: str,
+                   labels: Sequence[str] = ()):
+    """Text export matching the reference's band .dat layout: k_label/k_node
+    header lines, then one block per band of ``k_dist  E-E_F`` pairs with a
+    blank line between bands (reference band_cal.py:431-450)."""
+    bands = result["bands"] - result["fermi"]
+    with open(path, "w") as f:
+        f.write("# k_lable: " + " ".join(str(l) for l in labels) + "\n")
+        f.write("# k_node: " + "  ".join(f"{k:f}" for k in result["k_node"]) + "\n")
+        for nb in range(bands.shape[1]):
+            for kd, en in zip(result["k_dist"], bands[:, nb]):
+                f.write(f"{kd:f}    {en:f}\n")
+            f.write("\n")
+
+
 def write_cif(crystal: Dict[str, np.ndarray], path: str, au2ang: float = 0.5291772083):
     """Minimal CIF export (reference writes CIFs via pymatgen)."""
     from ..data.neighborlist import _SYMBOLS
@@ -212,6 +227,7 @@ def main(argv=None):
     nao = cfg["nao_max"]
     ham_type = cfg.get("Ham_type", "openmx").lower()
     soc = cfg.get("soc_switch", False)
+    spin_col = cfg.get("spin_colinear", cfg.get("spin_collinear", False))
     basis = get_basis_set(ham_type, nao)
     save_dir = cfg["save_dir"]
     os.makedirs(save_dir, exist_ok=True)
@@ -248,12 +264,36 @@ def main(argv=None):
         if nodes is None:
             nodes, labs = _auto_k_path(np.asarray(c["cell"]).reshape(3, 3))
 
+        if spin_col:
+            # collinear-spin mode (reference band_cal.py:284-431): rows carry
+            # a 2-channel spin dim; solve each channel against the
+            # spin-independent overlap, export band_spin{i}_* outputs
+            h2 = np.asarray(h_rows)
+            if h2.ndim != 3 or h2.shape[1] != 2:
+                raise ValueError(
+                    f"spin_colinear expects (rows, 2, nao^2) Hamiltonian "
+                    f"stacks, got {h2.shape}")
+            for ispin in range(2):
+                res = band_structure_for_crystal(
+                    c, h2[:, ispin], nao, basis, nk, nodes, soc=False)
+                stem = os.path.join(save_dir, f"band_spin{ispin}_{idx}")
+                np.savez(stem + ".npz", k_dist=res["k_dist"],
+                         k_node=res["k_node"], bands=res["bands"],
+                         fermi=res["fermi"], gap=res["gap"])
+                plot_bands(res, labs, stem + ".png")
+                write_band_dat(res, stem + ".dat", labs or ())
+                print(f"[{idx}] spin {ispin}: gap = {res['gap']:.4f} eV, "
+                      f"E_F = {res['fermi']:.4f} eV")
+            write_cif(c, os.path.join(save_dir, f"{name}_{idx}.cif"))
+            continue
+
         res = band_structure_for_crystal(
             c, h_rows, nao, basis, nk, nodes, soc=soc, ih_rows=ih_rows)
         np.savez(os.path.join(save_dir, f"{name}_{idx}_bands.npz"),
                  k_dist=res["k_dist"], k_node=res["k_node"], bands=res["bands"],
                  fermi=res["fermi"], gap=res["gap"])
         plot_bands(res, labs, os.path.join(save_dir, f"{name}_{idx}_bands.png"))
+        write_band_dat(res, os.path.join(save_dir, f"{name}_{idx}_bands.dat"), labs or ())
         write_cif(c, os.path.join(save_dir, f"{name}_{idx}.cif"))
         print(f"[{idx}] gap = {res['gap']:.4f} eV, E_F = {res['fermi']:.4f} eV")
 

@@ -98,6 +98,40 @@ class TestBandCal:
         assert os.path.exists(tmp_path / "out" / "test_0_bands.npz")
         assert os.path.exists(tmp_path / "out" / "test_0_bands.png")
         assert os.path.exists(tmp_path / "out" / "test_0.cif")
+        assert os.path.exists(tmp_path / "out" / "test_0_bands.dat")
+
+    def test_cli_collinear_spin(self, band_fixture, tmp_path):
+        """Collinear-spin band mode (reference band_cal.py:284-431): per-spin
+        H(k) from the 2-channel stacks against the spin-independent overlap,
+        band_spin{i}_* outputs; the channels differ by the spin splitting."""
+        c = dict(band_fixture)
+        rng = np.random.default_rng(9)
+        split = 0.05 * np.abs(rng.normal(size=c["Hon"].shape))
+        c["Hon"] = np.stack([c["Hon"] + split, c["Hon"] - split], axis=1)
+        c["Hoff"] = np.stack([c["Hoff"], c["Hoff"]], axis=1)
+        npz = str(tmp_path / "graph_data.npz")
+        save_graph_npz(npz, [c])
+        cfg = {
+            "nao_max": 14, "graph_data_path": npz, "hamiltonian_path": None,
+            "nk": 8, "save_dir": str(tmp_path / "out"),
+            "strcture_name": "test", "soc_switch": False,
+            "spin_colinear": True, "auto_mode": False,
+            "k_path": [[0, 0, 0], [0.5, 0, 0]], "label": ["G", "X"],
+        }
+        cfg_path = str(tmp_path / "band_cal.yaml")
+        with open(cfg_path, "w") as f:
+            yaml.safe_dump(cfg, f)
+        band_cal_main(["--config", cfg_path])
+        res = []
+        for ispin in range(2):
+            stem = tmp_path / "out" / f"band_spin{ispin}_0"
+            assert os.path.exists(f"{stem}.npz")
+            assert os.path.exists(f"{stem}.png")
+            assert os.path.exists(f"{stem}.dat")
+            res.append(np.load(f"{stem}.npz"))
+        assert np.isfinite(res[0]["bands"]).all()
+        # up/down channels must differ by the injected splitting
+        assert np.abs(res[0]["bands"] - res[1]["bands"]).max() > 1e-3
 
     def test_parallel_solver_matches_scipy(self, band_fixture):
         import scipy.linalg
