@@ -711,10 +711,199 @@ def main_collinear(argv=None):
     print(f"wrote {len(crystals)} collinear structures under {args.out}")
 
 
+class NonCollinearTerms:
+    """Heisenberg terms for the NON-collinear spin-constrained families, in the
+    magnetic head's own function space (models/spin.py heisenberg_terms with
+    collinear=False): rank-0 scalar J per orbital-pair block, or rank-2
+    (nao, nao, 3, 3) J when ``soc`` (the spin-constrained-SOC family).  The
+    teacher literally calls heisenberg_terms with these ground-truth J arrays
+    and unit weights, so representability is by construction.
+    """
+
+    def __init__(self, basis, seed: int = 0, amp: float = 0.01,
+                 zs=(14, 6), r0: float = 4.0, soc: bool = False):
+        from ..models.spin import _rank0_merge_matrix, _rank2_merge_matrix
+
+        self.nao = basis.nao_max
+        self.r0 = r0
+        self.soc = soc
+        rng = np.random.RandomState(seed + 177)
+        nb = len(basis.orbital_irreps) ** 2
+        if soc:
+            M2 = _rank2_merge_matrix("openmx", self.nao)  # (9*nb, nao, nao, 3, 3)
+            self.M = M2.reshape(M2.shape[0], -1)
+            self.shape = (self.nao, self.nao, 3, 3)
+            d = 9 * nb
+        else:
+            M0 = _rank0_merge_matrix("openmx", self.nao)  # (nb, nao, nao)
+            self.M = M0.reshape(M0.shape[0], -1)
+            self.shape = (self.nao, self.nao)
+            d = nb
+        self.c_on = {z: amp * rng.uniform(-1.0, 1.0, size=d) for z in zs}
+        self.c_off = {}
+        for zi in zs:
+            for zj in zs:
+                key = tuple(sorted((zi, zj)))
+                if key not in self.c_off:
+                    self.c_off[key] = amp * rng.uniform(-0.7, 0.7, size=d)
+
+    def j_arrays(self, z, src, dst, r):
+        J_on = np.stack([
+            (self.c_on[int(zz)] @ self.M).reshape(self.shape) for zz in z])
+        rad = (1.0 + r / self.r0) * np.exp(-r / self.r0)
+        J_off = np.stack([
+            (self.c_off[tuple(sorted((int(z[s]), int(z[d]))))] @ self.M
+             ).reshape(self.shape) * rr
+            for s, d, rr in zip(src, dst, rad)])
+        return J_on, J_off
+
+
+def noncollinear_crystal(teacher: SKTeacher, terms: NonCollinearTerms, z, pos,
+                         cell, rng, soc: bool = False) -> Dict[str, np.ndarray]:
+    """One crystal dict with non-collinear (2 nao)^2 real/imag targets built
+    exactly as the magnetic head's non-collinear branch assembles them
+    (models/spin.py non-collinear path; reference hamgnn_output.py:3183-3616):
+    spin-diagonal spatial H + complex sigma.S Heisenberg terms, model-identical
+    symmetrization, H0 on the spin diagonal, valid-orbital masking."""
+    import jax.numpy as jnp
+
+    from ..data.graph import pad_and_batch
+    from ..models.spin import heisenberg_terms
+
+    data = teacher.build(z, pos, cell)
+    bd = teacher.basis.basis_def
+    nao = teacher.nao
+    big = 2 * nao
+    src, dst = data["edge_src"], data["edge_dst"]
+    n, e = len(z), len(src)
+
+    def full(blocks, zrow, zcol):
+        out = np.zeros((len(blocks), nao, nao))
+        for k, (b, zr, zc) in enumerate(zip(blocks, zrow, zcol)):
+            out[k][np.ix_(bd[int(zr)], bd[int(zc)])] = b
+        return out
+
+    Hs_on = full(data["Hon"], z, z)
+    Hs_off = full(data["Hoff"], z[src], z[dst])
+    H0_on = full(data["H0on"], z, z)
+    H0_off = full(data["H0off"], z[src], z[dst])
+    S_on = full(data["Son"], z, z)
+    S_off = full(data["Soff"], z[src], z[dst])
+
+    # random unit spin directions, all atoms magnetic
+    sv = rng.normal(size=(n, 3))
+    sv = sv / np.linalg.norm(sv, axis=1, keepdims=True)
+    spin_length = np.ones(n)
+
+    vec = pos[dst] + (data["cell_shift"] @ cell) - pos[src]
+    r = np.linalg.norm(vec, axis=1)
+    J_on, J_off = terms.j_arrays(z, src, dst, r)
+
+    edge_index = np.stack([src, dst])
+    inv_edge = inverse_edge_index(edge_index, data["cell_shift"])
+    c = {
+        "z": z, "pos": pos, "cell": cell[None],
+        "edge_index": edge_index,
+        "inv_edge_idx": inv_edge,
+        "cell_shift": data["cell_shift"],
+        "nbr_shift": data["cell_shift"] @ cell,
+        "spin_vec": sv, "spin_length": spin_length,
+    }
+    graph = pad_and_batch([dict(c, Hon=np.zeros((n, nao * nao)),
+                                Hoff=np.zeros((e, nao * nao)))],
+                          node_bucket=n, edge_bucket=e)
+    hh_on, hh_off = heisenberg_terms(
+        graph, jnp.asarray(J_on), jnp.asarray(J_off),
+        jnp.asarray(np.ones((n, nao, nao))), jnp.asarray(np.ones((e, nao, nao))),
+        jnp.asarray(sv), jnp.asarray(spin_length),
+        soc=soc, collinear=False)
+    hh_on = np.asarray(hh_on).reshape(n, big, big)
+    hh_off = np.asarray(hh_off).reshape(e, big, big)
+
+    def spin_diag(m):
+        out = np.zeros((m.shape[0], big, big))
+        out[:, :nao, :nao] = m
+        out[:, nao:, nao:] = m
+        return out
+
+    # model-identical assembly + symmetrization (models/spin.py)
+    h_on_r = spin_diag(Hs_on - H0_on) + hh_on.real
+    h_on_i = hh_on.imag
+    h_off_r = spin_diag(Hs_off - H0_off) + hh_off.real
+    h_off_i = hh_off.imag
+    h_on_r = 0.5 * (h_on_r + np.swapaxes(h_on_r, -1, -2))
+    h_on_i = 0.5 * (h_on_i - np.swapaxes(h_on_i, -1, -2))
+    h_off_r = 0.5 * (h_off_r + np.swapaxes(h_off_r[inv_edge], -1, -2))
+    h_off_i = 0.5 * (h_off_i - np.swapaxes(h_off_i[inv_edge], -1, -2))
+    h_on_r = h_on_r + spin_diag(H0_on)
+    h_off_r = h_off_r + spin_diag(H0_off)
+
+    def pair_mask(zrow, zcol):
+        mrow = np.zeros((len(zrow), nao))
+        for k, zr in enumerate(zrow):
+            mrow[k, bd[int(zr)]] = 1.0
+        mcol = np.zeros((len(zcol), nao))
+        for k, zc in enumerate(zcol):
+            mcol[k, bd[int(zc)]] = 1.0
+        m = mrow[:, :, None] * mcol[:, None, :]
+        m2 = np.concatenate([m, m], axis=1)
+        return np.concatenate([m2, m2], axis=2)
+
+    m_on = pair_mask(z, z)
+    m_off = pair_mask(z[src], z[dst])
+    c["Hon"] = (h_on_r * m_on).reshape(n, big * big)
+    c["iHon"] = (h_on_i * m_on).reshape(n, big * big)
+    c["Hoff"] = (h_off_r * m_off).reshape(e, big * big)
+    c["iHoff"] = (h_off_i * m_off).reshape(e, big * big)
+    c["Hon0"] = (spin_diag(H0_on) * m_on).reshape(n, big * big)
+    c["Hoff0"] = (spin_diag(H0_off) * m_off).reshape(e, big * big)
+    c["iHon0"] = np.zeros((n, big * big))
+    c["iHoff0"] = np.zeros((e, big * big))
+    c["Son"] = S_on.reshape(n, nao * nao)
+    c["Soff"] = S_off.reshape(e, nao * nao)
+    return c
+
+
+def main_noncollinear(argv=None, soc: bool = False):
+    """Non-collinear spin-constrained dataset: (2 nao)^2 real/imag targets
+    with sigma.S (rank-0 J) or full rank-2-J SOC Heisenberg corrections."""
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--n", type=int, default=100)
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--nao-max", type=int, default=14)
+    args = ap.parse_args(argv)
+
+    from ..data.dataset import save_graph_npz
+
+    teacher = SKTeacher(nao_max=args.nao_max, seed=args.seed)
+    terms = NonCollinearTerms(teacher.basis, seed=args.seed, soc=soc)
+    protos = {
+        "si": _fcc_primitive(A_SI, 14, 14),
+        "c": _fcc_primitive(A_C, 6, 6),
+        "sic": _fcc_primitive(A_SIC, 14, 6),
+    }
+    rng = np.random.RandomState(args.seed + 1)
+    crystals = []
+    names = list(protos)
+    for i in range(args.n):
+        cell, pos, z = rattled(rng, protos[names[i % len(names)]])
+        crystals.append(noncollinear_crystal(teacher, terms, z, pos, cell,
+                                             rng, soc=soc))
+    os.makedirs(args.out, exist_ok=True)
+    save_graph_npz(os.path.join(args.out, "graph_data.npz"), crystals)
+    kind = "spin-constrained-SOC" if soc else "non-collinear"
+    print(f"wrote {len(crystals)} {kind} structures under {args.out}")
+
+
 if __name__ == "__main__":
     import sys as _sys
 
     if len(_sys.argv) > 1 and _sys.argv[1] == "collinear":
         main_collinear(_sys.argv[2:])
+    elif len(_sys.argv) > 1 and _sys.argv[1] == "noncollinear":
+        main_noncollinear(_sys.argv[2:], soc=False)
+    elif len(_sys.argv) > 1 and _sys.argv[1] == "spinsoc":
+        main_noncollinear(_sys.argv[2:], soc=True)
     else:
         main()
