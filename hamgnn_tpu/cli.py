@@ -37,6 +37,7 @@ def build_model(config) -> HamGNNModel:
             num_radial=pre.num_radial,
             rbf_func=pre.rbf_func.lower(),
             cutoff=pre.cutoff,
+            cutoff_func=pre.get("cutoff_func", "cos"),
             radial_mlp=tuple(pre.radial_MLP),
             num_heads=pre.get("num_heads", 4),
             correlation=pre.get("correlation", 2),
@@ -54,6 +55,7 @@ def build_model(config) -> HamGNNModel:
         num_radial=pre.num_radial,
         rbf_func=pre.rbf_func.lower(),
         cutoff=pre.cutoff,
+        cutoff_func=pre.get("cutoff_func", "cos"),
         radial_mlp=tuple(pre.radial_MLP),
         use_corr_prod=pre.get("use_corr_prod", False),
         correlation=pre.get("correlation", 2),
@@ -186,13 +188,66 @@ def _attach_head(config, rep) -> HamGNNModel:
     return HamGNNModel(representation=rep, output=head)
 
 
+def audit_config(config) -> None:
+    """Warn (never silently ignore) on reference config knobs that this
+    framework handles differently — see docs/parameters.md for the full
+    audit table of every parameter in the reference README.md:441-558."""
+    import warnings
+
+    setup = config.setup
+    pre = config.representation_nets.HamGNN_pre
+    out = config.output_nets.HamGNN_out
+    ds = config.dataset_params
+
+    if int(setup.get("precision", 32)) == 64:
+        warnings.warn(
+            "setup.precision=64: TPU cores have no native fp64; this build "
+            "runs fp32 on TPU (CPU fp64 cross-checks live in the test "
+            "suite). Proceeding in fp32.", stacklevel=2)
+    if pre.get("edge_sh_normalization", "component") != "component" or             not pre.get("edge_sh_normalize", True):
+        warnings.warn(
+            "edge_sh_normalization: only the reference default "
+            "('component', normalized) is implemented; other settings are "
+            "ignored.", stacklevel=2)
+    if pre.get("build_internal_graph", False):
+        warnings.warn(
+            "build_internal_graph=true: the graph is rebuilt at data-prep "
+            "time here (data/neighborlist.py), not inside the forward; "
+            "stored edges are used as-is.", stacklevel=2)
+    for k, why in [
+        ("include_triplet", "triplet export is provided by utils/triplets.py "
+         "at data-prep time, not in the forward"),
+        ("return_forces", "force heads are not implemented (dead default in "
+         "the reference: no shipped config enables it)"),
+        ("create_graph", "autograd-graph control is torch-specific; jax "
+         "grads need no flag"),
+        ("get_nonzero_mask_tensor", "masks are always exported "
+         "(result['mask_on'/'mask_off'])"),
+    ]:
+        if out.get(k, False):
+            warnings.warn(f"output_nets.{k}=true is not honored: {why}.",
+                          stacklevel=2)
+    if not out.get("calculate_sparsity", True):
+        warnings.warn(
+            "calculate_sparsity=false is not honored: the sparsity ratio is "
+            "computed on-device at negligible cost and always exported.",
+            stacklevel=2)
+    if ds.get("num_workers", 4) not in (0, 4) or ds.get("preload", 0):
+        warnings.warn(
+            "dataset_params.num_workers/preload are torch DataLoader knobs; "
+            "this build loads graphs host-side up front (npz) or on demand "
+            "(lmdb) without worker processes.", stacklevel=2)
+
+
 def prepare_dataset(config):
     from .data.dataset import GraphDataModule, load_graph_lmdb, load_graph_npz
 
     path = config.dataset_params.graph_data_path
-    if not os.path.isfile(path) and not path.lower().endswith(".lmdb"):
+    fmt = str(config.dataset_params.get("data_format", "auto")).lower()
+    if not os.path.isfile(path) and not path.lower().endswith(".lmdb") \
+            and fmt != "lmdb":
         path = os.path.join(path, "graph_data.npz")
-    if path.lower().endswith(".lmdb"):
+    if fmt == "lmdb" or (fmt == "auto" and path.lower().endswith(".lmdb")):
         graphs = load_graph_lmdb(path)
     else:
         graphs = load_graph_npz(path)
@@ -238,6 +293,7 @@ def train_and_evaluate(config) -> None:
     # effects below are rank-zero gated
     maybe_initialize_distributed()
 
+    audit_config(config)
     data = prepare_dataset(config)
     if is_primary():
         _dump_resolved_config(config)

@@ -31,7 +31,7 @@ from ..nn.blocks import (
     PairInteractionEmbeddingBlock,
 )
 from ..nn.mlp import FullyConnectedNet
-from ..nn.radial import RBF_REGISTRY, cosine_cutoff
+from ..nn.radial import RBF_REGISTRY, cosine_cutoff, polynomial_envelope
 
 
 class ChargeDopedOneHot(fnn.Module):
@@ -73,6 +73,7 @@ class HamGNNConvE3(fnn.Module):
     num_radial: int = 64
     rbf_func: str = "bessel"
     cutoff: float = 26.0
+    cutoff_func: str = "cos"   # 'cos' | 'pol' (reference cutoff_functions.py)
     radial_mlp: Tuple[int, ...] = (64, 64)
     use_corr_prod: bool = False
     correlation: int = 2
@@ -125,7 +126,10 @@ class HamGNNConvE3(fnn.Module):
         edge_sh = spherical_harmonics(sh_ls, edge_vec, normalize=True)
 
         rbf = RBF_REGISTRY[self.rbf_func](self.num_radial, self.cutoff)(edge_len)
-        edge_scalars = rbf * cosine_cutoff(edge_len, self.cutoff)[:, None]
+        cut = (polynomial_envelope(edge_len, self.cutoff)
+               if self.cutoff_func.lower().startswith("pol")
+               else cosine_cutoff(edge_len, self.cutoff))
+        edge_scalars = rbf * cut[:, None]
 
         edge_feats = PairInteractionEmbeddingBlock(
             irreps_node_feats=irreps_onehot,
@@ -188,16 +192,44 @@ class HamGNNConvE3(fnn.Module):
                 name=f"pair_{i}",
             )
 
-            node_feats = conv.gathered_call(
-                node_feats, view.gather_src(node_feats),
-                view.gather_dst(node_feats), edge_feats, edge_sh,
-                edge_scalars, view.dst_index, view.edge_mask)
+            overlap = view.boundary_pos is not None
+            if overlap:
+                # comm/compute overlap (SURVEY §5): issue the source-row
+                # all_to_all first; its result feeds ONLY the small
+                # boundary-edge pass, so the interior contraction runs while
+                # the exchange is in flight (XLA latency-hiding scheduler).
+                b_pos, b_mask = view.boundary_pos, view.boundary_mask
+                halo_tab = view.halo_rows(node_feats)
+                dst_rows = view.gather_dst(node_feats)
+                boundary = (halo_tab[view.src_halo_pos], dst_rows[b_pos],
+                            edge_feats[b_pos], edge_sh[b_pos],
+                            edge_scalars[b_pos], view.dst_index[b_pos],
+                            b_mask)
+                node_feats = conv.gathered_call(
+                    node_feats, view.gather_src_interior(node_feats),
+                    dst_rows, edge_feats, edge_sh, edge_scalars,
+                    view.dst_index, view.interior_mask, boundary)
+            else:
+                node_feats = conv.gathered_call(
+                    node_feats, view.gather_src(node_feats),
+                    view.gather_dst(node_feats), edge_feats, edge_sh,
+                    edge_scalars, view.dst_index, view.edge_mask)
             if corr is not None:
                 node_feats = corr(node_feats, node_attrs)
             up_src, up_dst = pair.lift(node_feats)
-            edge_feats = pair.gathered_call(
-                view.gather_src(up_src), view.gather_dst(up_dst),
-                edge_feats, edge_sh, edge_scalars)
+            if overlap:
+                halo_tab2 = view.halo_rows(up_src)
+                up_dst_rows = view.gather_dst(up_dst)
+                boundary2 = (halo_tab2[view.src_halo_pos], up_dst_rows[b_pos],
+                             edge_feats[b_pos], edge_sh[b_pos],
+                             edge_scalars[b_pos], b_pos, b_mask)
+                edge_feats = pair.gathered_call(
+                    view.gather_src_interior(up_src), up_dst_rows,
+                    edge_feats, edge_sh, edge_scalars, boundary2)
+            else:
+                edge_feats = pair.gathered_call(
+                    view.gather_src(up_src), view.gather_dst(up_dst),
+                    edge_feats, edge_sh, edge_scalars)
 
         return {"node_attr": node_feats, "edge_attr": edge_feats}
 
@@ -214,6 +246,7 @@ class HamGNNTransformer(fnn.Module):
     num_radial: int = 64
     rbf_func: str = "bessel"
     cutoff: float = 26.0
+    cutoff_func: str = "cos"   # 'cos' | 'pol' (reference cutoff_functions.py)
     radial_mlp: Tuple[int, ...] = (64, 64)
     num_heads: int = 4
     correlation: int = 2
@@ -254,7 +287,10 @@ class HamGNNTransformer(fnn.Module):
         edge_len = jnp.where(view.edge_mask, edge_len, 1.0)
         edge_sh = spherical_harmonics(sh_ls, edge_vec, normalize=True)
         rbf = RBF_REGISTRY[self.rbf_func](self.num_radial, self.cutoff)(edge_len)
-        edge_scalars = rbf * cosine_cutoff(edge_len, self.cutoff)[:, None]
+        cut = (polynomial_envelope(edge_len, self.cutoff)
+               if self.cutoff_func.lower().startswith("pol")
+               else cosine_cutoff(edge_len, self.cutoff))
+        edge_scalars = rbf * cut[:, None]
 
         edge_feats = PairInteractionEmbeddingBlock(
             irreps_node_feats=irreps_onehot,

@@ -57,6 +57,16 @@ class GraphView:
     gather_dst: Callable[[jnp.ndarray], jnp.ndarray]
     inv_exchange: Callable[[jnp.ndarray], jnp.ndarray]
     psum: Callable[[jnp.ndarray], jnp.ndarray] = _identity
+    # --- comm/compute overlap (halo only; None on the dense view) --------
+    # interior edges gather source rows from OWNED features only, so the
+    # per-layer all_to_all is consumed solely by the small boundary pass and
+    # overlaps with the interior contraction (SURVEY §5 north star).
+    gather_src_interior: Optional[Callable] = None   # rows -> (E, D), owned only
+    halo_rows: Optional[Callable] = None             # rows -> (S*H, D) collective
+    interior_mask: Optional[Any] = None              # (E,) bool
+    boundary_pos: Optional[Any] = None               # (E_b,) local edge rows
+    boundary_mask: Optional[Any] = None              # (E_b,) bool
+    src_halo_pos: Optional[Any] = None               # (E_b,) into halo rows
     # whole-crystal reassembly for band solves etc.: map shard-local per-node
     # / per-edge rows to the GLOBAL padded row order (replicated on every
     # shard).  Identity on the dense view; all_gather(+unpermute) under halo.

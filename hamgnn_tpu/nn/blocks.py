@@ -171,7 +171,15 @@ class ConvBlockE3(fnn.Module):
 
     @fnn.compact
     def gathered_call(self, node_feats_own, src_feats, dst_feats, edge_feats,
-                      edge_sh, edge_scalars, dst_idx, edge_mask):
+                      edge_sh, edge_scalars, dst_idx, edge_mask,
+                      boundary=None):
+        """``boundary``: optional comm/compute-overlap split (halo partition):
+        a tuple ``(src_b, dst_b, edge_b, sh_b, scal_b, dst_idx_b, mask_b)``
+        of the boundary-edge rows.  When given, ``src_feats``/``edge_mask``
+        must cover the INTERIOR edges only (boundary rows masked out); the
+        boundary messages are computed with the SAME MessagePackBlock
+        parameters and added to the aggregate, so the math equals the joint
+        call while the source-row all_to_all is consumed only here."""
         irreps_in = Irreps(self.irreps_in)
         irreps_out = Irreps(self.irreps_out)
         num_nodes = node_feats_own.shape[0]
@@ -179,7 +187,7 @@ class ConvBlockE3(fnn.Module):
         skip = Linear(irreps_in, irreps_out, name="skip")(node_feats_own) \
             if self.use_skip_connections else None
 
-        messages = MessagePackBlock(
+        mpb = MessagePackBlock(
             irreps_node_feats=irreps_in,
             irreps_edge_feats=irreps_in,
             irreps_local_env_edge=Irreps(self.irreps_edge_attrs),
@@ -189,10 +197,16 @@ class ConvBlockE3(fnn.Module):
             use_kan=self.use_kan,
             lite_mode=self.lite_mode,
             name="conv_tp",
-        )(src_feats, dst_feats, edge_feats, edge_sh, edge_scalars)
+        )
+        messages = mpb(src_feats, dst_feats, edge_feats, edge_sh, edge_scalars)
         messages = messages * edge_mask[:, None].astype(messages.dtype)
 
         agg = segment_sum(messages, dst_idx, num_nodes)
+        if boundary is not None:
+            src_b, dst_b, edge_b, sh_b, scal_b, dst_idx_b, mask_b = boundary
+            msg_b = mpb(src_b, dst_b, edge_b, sh_b, scal_b)
+            msg_b = msg_b * mask_b[:, None].astype(msg_b.dtype)
+            agg = agg + segment_sum(msg_b, dst_idx_b, num_nodes)
         out = ResidualBlock(irreps_in=irreps_out, irreps_hidden=irreps_out,
                             name="residual")(agg)
         if skip is not None:
@@ -251,9 +265,25 @@ class PairInteractionBlock(fnn.Module):
         return self.linear_up_src(node_feats), self.linear_up_tar(node_feats)
 
     def gathered_call(self, src_lifted, dst_lifted, edge_feats, edge_sh,
-                      edge_scalars):
+                      edge_scalars, boundary=None):
+        """``boundary``: optional overlap split, a tuple ``(src_b, dst_b,
+        edge_b, sh_b, scal_b, pos_b, mask_b)``: when given, ``src_lifted``
+        carries owned rows only (boundary rows arbitrary) and the boundary
+        rows are recomputed from the halo exchange and scatter-added at
+        ``pos_b`` — output identical to the joint call per edge."""
         mix = self.conv_tp(src_lifted, dst_lifted, edge_feats, edge_sh,
                            edge_scalars)
+        if boundary is not None:
+            src_b, dst_b, edge_b, sh_b, scal_b, pos_b, mask_b = boundary
+            mix_b = self.conv_tp(src_b, dst_b, edge_b, sh_b, scal_b)
+            # zero the (garbage-src) boundary rows of the main pass, then
+            # scatter-add the boundary results; padded pos_b rows add zero
+            keep = jnp.ones((mix.shape[0],), mix.dtype)
+            keep = keep.at[pos_b].min(
+                1.0 - mask_b.astype(mix.dtype))
+            mix = mix * keep[:, None]
+            mix = mix.at[pos_b].add(
+                mix_b * mask_b[:, None].astype(mix_b.dtype))
         if self.use_skip_connections:
             return mix + self.skip(edge_feats)
         if self.legacy_edge_update:

@@ -77,6 +77,13 @@ class EdgePartitionPlan:
     edge_halo_bucket: int = 0
     inv_pos: Optional[np.ndarray] = None        # (S, E_loc) int32 into edge table
     edge_send_idx: Optional[np.ndarray] = None  # (S, S, HE) int32 local edge rows
+    # comm/compute overlap (SURVEY §5): per-shard compact list of the local
+    # edge rows whose SOURCE is remote (boundary edges).  The layer computes
+    # interior messages from owned rows while the all_to_all is in flight and
+    # adds the boundary contributions on arrival.
+    boundary_bucket: int = 0
+    boundary_pos: Optional[np.ndarray] = None   # (S, E_b) int32 local edge rows
+    boundary_mask: Optional[np.ndarray] = None  # (S, E_b) bool
 
     @property
     def table_size(self) -> int:
@@ -88,7 +95,8 @@ def make_plan(edge_index: np.ndarray, edge_mask: np.ndarray, n_nodes: int,
               inv_edge_idx: Optional[np.ndarray] = None,
               force_edge_loc: Optional[int] = None,
               force_halo: Optional[int] = None,
-              force_edge_halo: Optional[int] = None) -> EdgePartitionPlan:
+              force_edge_halo: Optional[int] = None,
+              force_boundary: Optional[int] = None) -> EdgePartitionPlan:
     """Partition edges by destination owner and build the halo exchange plan.
 
     ``force_*`` pin the padded local-edge / halo / edge-halo bucket sizes so
@@ -205,12 +213,29 @@ def make_plan(edge_index: np.ndarray, edge_mask: np.ndarray, n_nodes: int,
                 req = ereq[p][s]
                 edge_send_idx[s, p, : len(req)] = local_row[req]
 
+    # boundary edge lists for comm/compute overlap: local rows whose source
+    # position points into the halo table (src owned by a peer)
+    b_counts = [int(np.sum(mask_out[s] & (src_pos[s] >= n_loc)))
+                for s in range(n_shards)]
+    e_b = _round_up(max(max(b_counts), 1), 8)
+    if force_boundary is not None:
+        assert force_boundary >= e_b, (force_boundary, e_b)
+        e_b = force_boundary
+    boundary_pos = np.zeros((n_shards, e_b), np.int32)
+    boundary_mask = np.zeros((n_shards, e_b), bool)
+    for s in range(n_shards):
+        rows = np.nonzero(mask_out[s] & (src_pos[s] >= n_loc))[0]
+        boundary_pos[s, : len(rows)] = rows
+        boundary_mask[s, : len(rows)] = True
+
     return EdgePartitionPlan(
         n_shards=n_shards, n_nodes_local=n_loc, halo_bucket=halo,
         edge_id=edge_id, src_pos=src_pos, dst_local=dst_local,
         edge_mask=mask_out, send_idx=send_idx,
         edge_halo_bucket=edge_halo, inv_pos=inv_pos,
         edge_send_idx=edge_send_idx,
+        boundary_bucket=e_b, boundary_pos=boundary_pos,
+        boundary_mask=boundary_mask,
     )
 
 
@@ -226,16 +251,23 @@ def shard_plan_arrays(mesh: Mesh, plan: EdgePartitionPlan):
     }
 
 
+def halo_recv_rows(local_feats: jnp.ndarray, send_idx: jnp.ndarray) -> jnp.ndarray:
+    """Inside shard_map: the halo rows only — one all_to_all carrying exactly
+    the rows each peer requested.  (S*H, D); kept separate from the owned rows
+    so interior compute need not data-depend on the collective."""
+    send = local_feats[send_idx]                     # (S, H, D)
+    recv = jax.lax.all_to_all(send, GRAPH_AXIS, split_axis=0, concat_axis=0)
+    return recv.reshape(-1, local_feats.shape[-1])   # (S*H, D)
+
+
 def halo_gather(local_feats: jnp.ndarray, send_idx: jnp.ndarray) -> jnp.ndarray:
     """Inside shard_map: build the local node table [owned ‖ halo rows].
 
     local_feats: (N_loc, D) owned rows; send_idx: (S, H) rows to send to each
     peer.  One all_to_all over the graph axis carries only requested rows.
     """
-    send = local_feats[send_idx]                     # (S, H, D)
-    recv = jax.lax.all_to_all(send, GRAPH_AXIS, split_axis=0, concat_axis=0)
-    halo_rows = recv.reshape(-1, local_feats.shape[-1])  # (S*H, D)
-    return jnp.concatenate([local_feats, halo_rows], axis=0)
+    return jnp.concatenate(
+        [local_feats, halo_recv_rows(local_feats, send_idx)], axis=0)
 
 
 def make_halo_conv_forward(conv_module, mesh: Mesh, pair_module=None):

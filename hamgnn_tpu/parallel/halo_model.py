@@ -44,7 +44,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..data.graph import Graph
 from ..models.view import GraphView
-from .halo import GRAPH_AXIS, EdgePartitionPlan, halo_gather, make_plan
+from .halo import (GRAPH_AXIS, EdgePartitionPlan, halo_gather,
+                   halo_recv_rows, make_plan)
 
 try:  # jax>=0.8
     from jax import shard_map
@@ -106,6 +107,8 @@ def build_halo_inputs(graph: Graph, plan: EdgePartitionPlan) -> Dict[str, np.nda
         "send_idx": plan.send_idx,
         "inv_pos": plan.inv_pos,
         "edge_send_idx": plan.edge_send_idx,
+        "boundary_pos": plan.boundary_pos,
+        "boundary_mask": plan.boundary_mask,
     }
     return {k: v for k, v in out.items() if v is not None}
 
@@ -164,6 +167,30 @@ def halo_view(inp: Dict[str, jnp.ndarray],
     def gather_dst(rows):
         return rows[dst_local]
 
+    # --- comm/compute overlap hooks (SURVEY §5 north star) ---------------
+    # interior edges read owned rows only; the all_to_all result is consumed
+    # ONLY by the small boundary pass, so XLA's latency-hiding scheduler can
+    # run the interior contraction while the exchange is in flight.
+    n_loc = inp["z"].shape[0]
+    boundary_pos = sq("boundary_pos") if "boundary_pos" in inp else None
+    boundary_mask = sq("boundary_mask") if "boundary_mask" in inp else None
+    interior_mask = None
+    src_halo_pos = None
+    if boundary_pos is not None:
+        is_interior = src_pos < n_loc
+        interior_mask = sq("edge_mask_sh") & is_interior
+        src_pos_int = jnp.where(is_interior, src_pos, 0)
+        src_halo_pos = jnp.maximum(src_pos[boundary_pos] - n_loc, 0)
+
+        def gather_src_interior(rows):
+            return rows[src_pos_int]
+
+        def halo_rows(rows):
+            return halo_recv_rows(rows, send_idx)
+    else:                                             # pragma: no cover
+        gather_src_interior = None
+        halo_rows = None
+
     def inv_exchange(rows):
         return edge_halo_gather(rows, edge_send_idx)[inv_pos]
 
@@ -193,6 +220,12 @@ def halo_view(inp: Dict[str, jnp.ndarray],
         gather_src=gather_src,
         gather_dst=gather_dst,
         inv_exchange=inv_exchange,
+        gather_src_interior=gather_src_interior,
+        halo_rows=halo_rows,
+        interior_mask=interior_mask,
+        boundary_pos=boundary_pos,
+        boundary_mask=boundary_mask,
+        src_halo_pos=src_halo_pos,
         psum=_psum,
         gather_nodes_global=gather_nodes_global,
         gather_edges_global=(gather_edges_global if edge_unperm is not None
@@ -256,13 +289,15 @@ def make_halo_loss_fn(model, mesh: Mesh,
 
 
 def halo_bucket_sizes(graphs: Sequence[Graph], n_shards: int,
-                      edge_quantum: int = 64) -> Tuple[int, int, int]:
-    """Dataset-wide (edge_loc, halo, edge_halo) bucket sizes: the max of the
-    natural plan sizes, so every stacked batch shares ONE jit shape."""
+                      edge_quantum: int = 64) -> Tuple[int, int, int, int]:
+    """Dataset-wide (edge_loc, halo, edge_halo, boundary) bucket sizes: the
+    max of the natural plan sizes, so every stacked batch shares ONE jit
+    shape."""
     nat = [plan_for_graph(g, n_shards, edge_quantum) for g in graphs]
     return (max(p.edge_id.shape[1] for p in nat),
             max(p.halo_bucket for p in nat),
-            max(p.edge_halo_bucket for p in nat))
+            max(p.edge_halo_bucket for p in nat),
+            max(p.boundary_bucket for p in nat))
 
 
 def stack_halo_inputs(graphs: Sequence[Graph], n_shards: int,
@@ -278,16 +313,18 @@ def stack_halo_inputs(graphs: Sequence[Graph], n_shards: int,
     data axis.
     """
     if force_sizes is not None:
-        e_loc, halo, ehalo = force_sizes
+        e_loc, halo, ehalo, e_b = force_sizes
     else:
-        e_loc, halo, ehalo = halo_bucket_sizes(graphs, n_shards, edge_quantum)
+        e_loc, halo, ehalo, e_b = halo_bucket_sizes(graphs, n_shards,
+                                                    edge_quantum)
     packed = []
     for g in graphs:
         plan = make_plan(
             np.asarray(g.edge_index), np.asarray(g.edge_mask), g.num_nodes,
             n_shards, edge_quantum=edge_quantum,
             inv_edge_idx=np.asarray(g.inv_edge_idx),
-            force_edge_loc=e_loc, force_halo=halo, force_edge_halo=ehalo)
+            force_edge_loc=e_loc, force_halo=halo, force_edge_halo=ehalo,
+            force_boundary=e_b)
         packed.append(build_halo_inputs(g, plan))
     keys = set(packed[0])
     for p in packed[1:]:

@@ -194,9 +194,14 @@ def band_energies_batched(
         band_mask = (jnp.arange(w)[None, :] < band_counts[:, None])
         band_mask = band_mask.astype(band.dtype)[:, None, :]  # (B, 1, w)
     else:
-        # static band window [half - w, half + w)
+        # static band window [half - w, half + w), kept inside the PHYSICAL
+        # spectrum: the upper clip uses the per-crystal valid-orbital count so
+        # the window can never slide into the _PAD_ENERGY pad states (heavy
+        # element / small crystal safety; VERDICT r4 item 10)
         w = int(num_bands)
-        start = jnp.clip(half - w, 0, M * nao - 2 * w)
+        n_valid = jnp.sum(orb_valid, axis=1).astype(jnp.int32)      # (B,)
+        start = jnp.clip(half - w, 0,
+                         jnp.clip(n_valid - 2 * w, 0, M * nao - 2 * w))
 
         def take_window(e_b, v_b, s_b):
             e_w = jax.lax.dynamic_slice_in_dim(e_b, s_b, 2 * w, axis=1)
@@ -325,7 +330,10 @@ def band_energies_soc_batched(
     )[:, 0]
 
     w = int(num_bands)
-    start = jnp.clip(occ - w, 0, M * nao2 - 2 * w)
+    # clip the window inside the physical spectrum (see the non-SOC variant)
+    n_valid = jnp.sum(orb_valid, axis=1).astype(jnp.int32)
+    start = jnp.clip(occ - w, 0,
+                     jnp.clip(n_valid - 2 * w, 0, M * nao2 - 2 * w))
 
     def take_window(e_b, v_b, s_b):
         e_w = jax.lax.dynamic_slice_in_dim(e_b, s_b, 2 * w, axis=1)

@@ -156,3 +156,34 @@ def test_gen_fallback_warns():
         warnings.simplefilter("always")
         auto_k_path(cell)
     assert any("generic path" in str(x.message) for x in w)
+
+
+def test_band_window_avoids_pad_states():
+    """The band window must never slide into the _PAD_ENERGY pad states: a
+    small crystal whose half-filling index sits near the top of its physical
+    spectrum gets a window clipped inside the valid-orbital count."""
+    import jax.numpy as jnp
+
+    from hamgnn_tpu.data.graph import pad_and_batch
+    from hamgnn_tpu.models.basis import get_basis_set
+    from hamgnn_tpu.physics.band import _PAD_ENERGY, band_energies_batched
+
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from util_fixtures import add_random_hamiltonian_targets, make_crystal
+
+    rng = np.random.default_rng(4)
+    c = make_crystal(rng, n_atoms=2, species=(1,))   # H: 5 of 14 orbitals valid
+    c = add_random_hamiltonian_targets(rng, c, nao_max=14)
+    graph = pad_and_batch([c], bucket_multiple=8)
+    basis = get_basis_set("openmx", 14)
+    k = jnp.zeros((1, 2, 3), jnp.float32)
+    # window wider than the physical spectrum margin: 2 atoms x 5 valid
+    # orbitals = 10 physical states; request 2w = 12 > 10 -> clip to start 0
+    band, wfn, gap = band_energies_batched(
+        graph, graph.Hon, graph.Hoff, graph.Son, graph.Soff, k, basis,
+        num_bands=4)
+    band = np.asarray(band)
+    # physical states only: nothing near the pad energy except when the
+    # window is inevitably wider than the spectrum (2w=8 <= 10 here: none)
+    assert np.abs(band).max() < _PAD_ENERGY / 2
