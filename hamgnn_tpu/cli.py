@@ -248,7 +248,11 @@ def prepare_dataset(config):
             and fmt != "lmdb":
         path = os.path.join(path, "graph_data.npz")
     if fmt == "lmdb" or (fmt == "auto" and path.lower().endswith(".lmdb")):
-        graphs = load_graph_lmdb(path)
+        # streaming store: graphs load on demand (LRU-cached) instead of
+        # residing in memory — the reference's LMDB big-data path
+        from .data.dataset import LmdbGraphStore
+
+        graphs = LmdbGraphStore(path)
     else:
         graphs = load_graph_npz(path)
     # fail fast on elements without a basis_def entry (reference
@@ -258,6 +262,7 @@ def prepare_dataset(config):
     out = config.output_nets.HamGNN_out
     basis = get_basis_set(out.ham_type.lower(), out.nao_max)
     all_z = np.unique(np.concatenate([np.asarray(g["z"]) for g in graphs]))
+    # (iterating a streaming store touches each graph once; only z survives)
     validate_elements_in_basis_def(all_z, basis)
     return GraphDataModule(
         graphs,

@@ -83,23 +83,75 @@ def load_graph_npz(path: str) -> List[Dict[str, np.ndarray]]:
     return [_crystal_dict(graphs[k]) for k in keys]
 
 
+class LmdbGraphStore:
+    """Lazy, on-demand graph store over the reference's LMDB layout
+    (``graph_{i}`` keys, count in ``num_graphs``; reference
+    data/graph_data.py:23-94) — the big-data streaming path: only the graphs
+    a batch touches are resident, with a small LRU cache.
+
+    When the ``lmdb`` module is unavailable (this sandbox bakes no lmdb), the
+    store transparently reads/writes the **lmdb-lite** layout instead: a
+    directory holding ``num_graphs`` (text) plus one ``graph_{i}.pkl`` pickle
+    per crystal — same keys, same pickled shim-Data records, same on-demand
+    access pattern.  ``npz_to_lmdb`` writes whichever backend is available.
+    """
+
+    def __init__(self, path: str, cache_size: int = 64):
+        from ..interfaces.pyg_shim import install_shim
+
+        install_shim()
+        self.path = path
+        self._cache: Dict[int, Dict[str, np.ndarray]] = {}
+        self._cache_size = cache_size
+        self._env = None
+        if os.path.isdir(path) and os.path.exists(
+                os.path.join(path, "num_graphs")):
+            self._backend = "lite"
+            with open(os.path.join(path, "num_graphs")) as f:
+                self._n = int(f.read().strip())
+        else:
+            import lmdb  # optional dependency; gated like the reference
+
+            self._backend = "lmdb"
+            self._env = lmdb.open(path, readonly=True, lock=False,
+                                  readahead=False, meminit=False)
+            with self._env.begin() as txn:
+                self._n = int(txn.get(b"num_graphs").decode())
+
+    def __len__(self) -> int:
+        return self._n
+
+    def _load(self, i: int):
+        if self._backend == "lite":
+            with open(os.path.join(self.path, f"graph_{i}.pkl"), "rb") as f:
+                return pickle.load(f)
+        with self._env.begin() as txn:
+            return pickle.loads(txn.get(f"graph_{i}".encode()))
+
+    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        if isinstance(i, slice):
+            return [self[j] for j in range(*i.indices(self._n))]
+        if i < 0:
+            i += self._n
+        if i in self._cache:
+            return self._cache[i]
+        c = _crystal_dict(self._load(i))
+        if len(self._cache) >= self._cache_size:
+            self._cache.pop(next(iter(self._cache)))
+        self._cache[i] = c
+        return c
+
+    def __iter__(self):
+        for i in range(self._n):
+            yield self[i]
+
+
 def load_graph_lmdb(path: str, indices: Optional[Sequence[int]] = None
                     ) -> List[Dict[str, np.ndarray]]:
-    """Load graphs from the reference's LMDB layout (requires lmdb)."""
-    import lmdb  # optional dependency; gated like the reference
-
-    from ..interfaces.pyg_shim import install_shim
-
-    install_shim()
-    env = lmdb.open(path, readonly=True, lock=False, readahead=False, meminit=False)
-    out = []
-    with env.begin() as txn:
-        n = int(txn.get(b"num_graphs").decode())
-        idxs = list(indices) if indices is not None else range(n)
-        for i in idxs:
-            out.append(_crystal_dict(pickle.loads(txn.get(f"graph_{i}".encode()))))
-    env.close()
-    return out
+    """Eagerly load graphs from an LMDB (or lmdb-lite) store."""
+    store = LmdbGraphStore(path, cache_size=1)
+    idxs = list(indices) if indices is not None else range(len(store))
+    return [store[i] for i in idxs]
 
 
 def save_graph_npz(path: str, crystals: Sequence[Dict[str, np.ndarray]]) -> None:
@@ -156,7 +208,8 @@ class GraphDataModule:
         node_quantum: int = 16,
         edge_quantum: int = 256,
     ):
-        self.graphs = list(graphs)
+        # keep lazy stores lazy (LMDB streaming); materialize iterators
+        self.graphs = graphs if hasattr(graphs, "__getitem__") else list(graphs)
         self.batch_size = batch_size
         self.node_quantum = node_quantum
         self.edge_quantum = edge_quantum

@@ -14,13 +14,24 @@ import pickle
 
 
 def convert(npz_path: str, lmdb_path: str, map_size_factor: float = 4.0) -> int:
-    import lmdb  # optional dependency, gated like the reference
-
     from ..data.dataset import load_graph_npz
     from ..interfaces.pyg_shim import Data, install_shim
 
     install_shim()
     graphs = load_graph_npz(npz_path)
+    try:
+        import lmdb  # optional dependency, gated like the reference
+    except ImportError:
+        # lmdb-lite fallback (see data.dataset.LmdbGraphStore): directory
+        # with a ``num_graphs`` text file + one pickle per graph — same keys
+        # and records, still read on demand by the streaming store
+        os.makedirs(lmdb_path, exist_ok=True)
+        for i, c in enumerate(graphs):
+            with open(os.path.join(lmdb_path, f"graph_{i}.pkl"), "wb") as f:
+                pickle.dump(Data(**c), f)
+        with open(os.path.join(lmdb_path, "num_graphs"), "w") as f:
+            f.write(str(len(graphs)))
+        return len(graphs)
     est = os.path.getsize(npz_path) * map_size_factor + (1 << 24)
     env = lmdb.open(lmdb_path, map_size=int(est))
     with env.begin(write=True) as txn:

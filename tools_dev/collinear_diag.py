@@ -84,7 +84,9 @@ split = 0.5 * (tgt[:, 0] - tgt[:, 1])
 print("mean |spin splitting|:", float(jnp.sum(jnp.abs(split) * mask2[:, 0]) / jnp.sum(mask2[:, 0])))
 
 # overfit probe
-opt = optax.adamw(3e-3)
+import optax as _ox
+sched = _ox.exponential_decay(3e-3, 300, 0.5)
+opt = optax.adamw(sched)
 ost = opt.init(params)
 
 @jax.jit
@@ -94,9 +96,9 @@ def step(p, o, g):
     return optax.apply_updates(p, up), o, v, lg
 
 hist = []
-for i in range(250):
+for i in range(1500):
     params, ost, v, lg = step(params, ost, graph)
-    if i % 25 == 0 or i == 249:
+    if i % 100 == 0 or i == 1499:
         hist.append((i, float(v), float(lg["mae_hamiltonian"])))
         print("step", i, "loss", float(v), "mae", float(lg["mae_hamiltonian"]))
 print(json.dumps(hist))
