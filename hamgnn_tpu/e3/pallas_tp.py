@@ -78,6 +78,24 @@ TILE_FWD = _tile_cfg("HAMGNN_TP_TILE_FWD", 0)
 TILE_BWD = _tile_cfg("HAMGNN_TP_TILE_BWD", 0)
 
 
+def _storemid() -> bool:
+    """Stored-mid VJP: the forward kernel writes the flat mid tensors to HBM
+    as an extra output and the backward reads them back instead of recomputing
+    (saves the _mids dots + FMAs in bwd at the cost of one (E, midw) fp32
+    round-trip through HBM).  Same math bit-for-bit — the mids are the exact
+    fp32 values either way.  Read at trace time; set before process start.
+    """
+    return os.environ.get("HAMGNN_TP_STOREMID", "") == "1"
+
+
+def _dx_merged() -> bool:
+    """Merged dx stage: one W_rep dot per chunk (width d1*K*mul) with the
+    dmid flat tensor lane-tiled d1 times, instead of one dot + multiply per
+    (chunk, i).  Fewer, wider ops; costs a transient (te, d1*K*mul) slab.
+    """
+    return os.environ.get("HAMGNN_TP_DX", "") == "merged"
+
+
 def _bf16_mode() -> str:
     """MXU input precision: '' (fp32), 'bwd' (backward only), 'all'.
 
@@ -202,6 +220,11 @@ class PallasSpec:
             crofs += d1 * K * mul
         self.x_perm = np.asarray(xperm, np.int32)
         self.chunks = chunks
+        # flat stored-mid layout: chunk g's (E, K*mul) mid lives at
+        # columns [mid_ofs[g], mid_ofs[g] + K*mul) of the (E, midw) tensor
+        self.mid_ofs = list(np.cumsum(
+            [0] + [K * mul for (_o, mul, _d, K, _c) in chunks])[:-1])
+        self.midw = int(sum(K * mul for (_o, mul, _d, K, _c) in chunks))
         S = plan.per_chunk[0][3].shape[0] if plan.per_chunk else 0
         self.Crep = (np.concatenate(crep_cols, axis=1) if crep_cols
                      else np.zeros((S, 0))).astype(np.float32)
@@ -297,6 +320,11 @@ class PallasSpec:
                                                _FWD_TILE_CAP)
         self.tile_bwd = TILE_BWD or _auto_tile(bwd_words, _BWD_BUDGET_WORDS,
                                                _BWD_TILE_CAP)
+        # stored-mid variant: fwd additionally streams the (te, midw) mid
+        # output; bwd replaces the recompute buffer with the input block
+        # (word count unchanged)
+        self.tile_fwd_store = TILE_FWD or _auto_tile(
+            fwd_words + midw, _FWD_BUDGET_WORDS, _FWD_TILE_CAP)
 
     # ------------------------------------------------------------------
     def build_wcat(self, flat_w):
@@ -343,10 +371,16 @@ class PallasSpec:
         return mids
 
     def _fwd_body(self, x_ref, sh_ref, w_ref, wcat_ref, crep_ref, out_ref,
-                  interpret):
+                  interpret, mid_out_ref=None):
         f32 = jnp.float32
         bf16 = _bf16_mode() == "all"
         mids = self._mids(x_ref, sh_ref[:], crep_ref, interpret, bf16)
+        if mid_out_ref is not None:  # stored-mid VJP: persist for the bwd
+            for g, (ofs_m, mul, d1, K, crofs) in enumerate(self.chunks):
+                if K == 0:
+                    continue
+                mo = self.mid_ofs[g]
+                mid_out_ref[:, mo : mo + K * mul] = mids[g]
 
         for (k_out, b, d3, V, r0, fan_rows, sources, wb, fast) in self.sched:
             wrows = wcat_ref[r0 : r0 + fan_rows, :V]
@@ -384,7 +418,7 @@ class PallasSpec:
     # ------------------------------------------------------------------
     def _bwd_body(self, x_ref, sh_ref, w_ref, wcat_ref, crep_ref, g_ref,
                   dx_ref, dsh_ref, dw_ref, dwcat_ref, interpret,
-                  need_dsh=True):
+                  need_dsh=True, mid_in_ref=None):
         f32 = jnp.float32
 
         @pl.when(pl.program_id(0) == 0)
@@ -393,7 +427,15 @@ class PallasSpec:
 
         sh = sh_ref[:]
         bf16 = _bf16_mode() in ("bwd", "all")
-        mids = self._mids(x_ref, sh, crep_ref, interpret, bf16)
+        if mid_in_ref is not None:  # stored-mid VJP: fwd already paid for them
+            mids = {}
+            for g, (ofs_m, mul, d1, K, crofs) in enumerate(self.chunks):
+                if K == 0:
+                    continue
+                mo = self.mid_ofs[g]
+                mids[g] = mid_in_ref[:, mo : mo + K * mul]
+        else:
+            mids = self._mids(x_ref, sh, crep_ref, interpret, bf16)
 
         if dw_ref is not None:
             dw_ref[:] = jnp.zeros_like(dw_ref)
@@ -486,6 +528,20 @@ class PallasSpec:
             dmidf = (jnp.concatenate(pieces, axis=1) if len(pieces) > 1
                      else pieces[0])
 
+            if _dx_merged() and d1 > 1 and not need_dsh:
+                # one W_rep dot per chunk (width d1*K*mul) + one tiled
+                # multiply, instead of d1 dots + d1 multiplies; the tree
+                # reductions stay per-i (strided halving across i-blocks is
+                # not a Mosaic-expressible lane op)
+                W_all = _mxu_dot(
+                    sh, crep_ref[:, crofs : crofs + d1 * K * mul], bf16)
+                prod = _tile_lanes(dmidf, d1, interpret) * W_all
+                for i in range(d1):
+                    dx_ref[:, ofs_m + i * mul : ofs_m + (i + 1) * mul] = (
+                        _tree_ksum(prod[:, i * K * mul : (i + 1) * K * mul],
+                                   K, mul))
+                continue
+
             for i in range(d1):
                 cslice = crep_ref[
                     :, crofs + i * K * mul : crofs + (i + 1) * K * mul]
@@ -523,20 +579,25 @@ def _pad_e(a, te):
     return jnp.pad(a, ((0, pe - E), (0, 0)))
 
 
-def _fwd_call(spec: PallasSpec, x_m, sh, w, wcat, interpret):
+def _fwd_call(spec: PallasSpec, x_m, sh, w, wcat, interpret,
+              store_mid=False):
     E = x_m.shape[0]
-    te = spec.tile_fwd
+    te = spec.tile_fwd_store if store_mid else spec.tile_fwd
     xp, shp = _pad_e(x_m, te), _pad_e(sh, te)
     wp = _pad_e(w, te) if w is not None else None
     Ep = xp.shape[0]
 
     def body(*refs):
+        mid_ref = None
+        if store_mid:
+            *refs, mid_ref = refs
         if w is not None:
             x_ref, sh_ref, w_ref, wcat_ref, crep_ref, out_ref = refs
         else:
             x_ref, sh_ref, wcat_ref, crep_ref, out_ref = refs
             w_ref = None
-        spec._fwd_body(x_ref, sh_ref, w_ref, wcat_ref, crep_ref, out_ref, interpret)
+        spec._fwd_body(x_ref, sh_ref, w_ref, wcat_ref, crep_ref, out_ref,
+                       interpret, mid_out_ref=mid_ref)
 
     ematch = lambda i: (i, 0)  # noqa: E731
     const = lambda i: (0, 0)  # noqa: E731
@@ -551,29 +612,45 @@ def _fwd_call(spec: PallasSpec, x_m, sh, w, wcat, interpret):
                  pl.BlockSpec(crep.shape, const)]
     args += [wcat, crep]
 
+    out_specs = pl.BlockSpec((te, spec.d_out), ematch)
+    out_shape = jax.ShapeDtypeStruct((Ep, spec.d_out), jnp.float32)
+    if store_mid:
+        out_specs = [out_specs, pl.BlockSpec((te, spec.midw), ematch)]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((Ep, spec.midw), jnp.float32)]
+
     out = pl.pallas_call(
         body,
         grid=(Ep // te,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((te, spec.d_out), ematch),
-        out_shape=jax.ShapeDtypeStruct((Ep, spec.d_out), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
     )(*args)
+    if store_mid:
+        return out[0][:E], out[1]  # mids stay padded (bwd repads anyway)
     return out[:E]
 
 
 def _bwd_call(spec: PallasSpec, x_m, sh, w, wcat, gout, interpret,
-              need_dsh=True):
+              need_dsh=True, mids=None):
     E = x_m.shape[0]
     te = spec.tile_bwd
     xp, shp, gp = _pad_e(x_m, te), _pad_e(sh, te), _pad_e(gout, te)
     wp = _pad_e(w, te) if w is not None else None
+    midp = _pad_e(mids, te) if mids is not None else None
     Ep = xp.shape[0]
     S = sh.shape[1]
 
     def body(*refs):
+        refs = list(refs)
+        # input order: x, sh, [w], wcat, crep, g, [mid]; outputs follow
+        mid_ref = None
+        if mids is not None:
+            # inputs before mid: x, sh, [w], wcat, crep, g
+            mid_ref = refs.pop(5 + (1 if w is not None else 0))
         if w is not None:
             (x_ref, sh_ref, w_ref, wcat_ref, crep_ref, g_ref,
              dx_ref, dsh_ref, dw_ref, dwcat_ref) = refs
@@ -582,7 +659,8 @@ def _bwd_call(spec: PallasSpec, x_m, sh, w, wcat, gout, interpret,
              dx_ref, dsh_ref, dwcat_ref) = refs
             w_ref, dw_ref = None, None
         spec._bwd_body(x_ref, sh_ref, w_ref, wcat_ref, crep_ref, g_ref,
-           dx_ref, dsh_ref, dw_ref, dwcat_ref, interpret, need_dsh)
+           dx_ref, dsh_ref, dw_ref, dwcat_ref, interpret, need_dsh,
+           mid_in_ref=mid_ref)
 
     ematch = lambda i: (i, 0)  # noqa: E731
     const = lambda i: (0, 0)  # noqa: E731
@@ -597,6 +675,9 @@ def _bwd_call(spec: PallasSpec, x_m, sh, w, wcat, gout, interpret,
                  pl.BlockSpec(crep.shape, const),
                  pl.BlockSpec((te, spec.d_out), ematch)]
     args += [wcat, crep, gp]
+    if mids is not None:
+        in_specs.append(pl.BlockSpec((te, spec.midw), ematch))
+        args.append(midp)
 
     out_shapes = [jax.ShapeDtypeStruct((Ep, spec.d_in), jnp.float32),
                   jax.ShapeDtypeStruct((Ep, S), jnp.float32)]
@@ -632,16 +713,21 @@ def _pipeline(plan_key, has_w, interpret, need_dsh, x_m, sh, w, wcat):
 
 
 def _pipeline_fwd(plan_key, has_w, interpret, need_dsh, x_m, sh, w, wcat):
+    if _storemid():
+        spec = _get_spec(plan_key)
+        out, mids = _fwd_call(spec, x_m, sh, w if has_w else None, wcat,
+                              interpret, store_mid=True)
+        return out, (x_m, sh, w, wcat, mids)
     out = _pipeline(plan_key, has_w, interpret, need_dsh, x_m, sh, w, wcat)
-    return out, (x_m, sh, w, wcat)
+    return out, (x_m, sh, w, wcat, None)
 
 
 def _pipeline_bwd(plan_key, has_w, interpret, need_dsh, res, g):
-    x_m, sh, w, wcat = res
+    x_m, sh, w, wcat, mids = res
     spec = _get_spec(plan_key)
     dx, dsh, dw, dwcat = _bwd_call(
         spec, x_m, sh, w if has_w else None, wcat, g, interpret,
-        need_dsh=need_dsh)
+        need_dsh=need_dsh, mids=mids)
     if dw is None:
         dw = jnp.zeros_like(w)
     return dx, dsh, dw, dwcat

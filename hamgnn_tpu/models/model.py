@@ -80,7 +80,31 @@ def _stack_pred_target(name: str, preds: Dict, graph: Graph):
         target = jnp.concatenate([graph.iHon, graph.iHoff], 0)
         mask = jnp.concatenate([graph.node_mask, graph.edge_mask], 0)[:, None]
         return pred, target, mask
-    raise KeyError(f"unknown loss target {name}")
+    # Generic result-dict keys (the reference's loss loop iterates arbitrary
+    # keys: predictions[prediction] vs batch[target], Model.py:128-179) —
+    # covers H_sym, wavefunction, HK/SK/dSK and any future exports.  The
+    # target comes from the packed graph data when it carries a field of that
+    # name, else from the result dict itself (band-style "<name>_ref").
+    by_lower = {k.lower(): k for k in preds}
+    if nm in by_lower:
+        key = by_lower[nm]
+        pred = preds[key]
+        target = getattr(graph, name, None)
+        if target is None:
+            target = getattr(graph, key, None)
+        if target is None:
+            target = preds.get(key + "_ref")
+        if target is None:
+            raise KeyError(
+                f"loss target '{name}': no '{nm}' field in the graph data and "
+                f"no '{nm}_ref' prediction; available predictions: "
+                f"{sorted(preds)}")
+        pred = pred.reshape(pred.shape[0], -1)
+        target = target.reshape(target.shape[0], -1)
+        mask = jnp.ones((pred.shape[0], 1), jnp.float32)
+        return pred, target, mask
+    raise KeyError(
+        f"unknown loss target {name} (available predictions: {sorted(preds)})")
 
 
 def compute_losses(
@@ -105,7 +129,15 @@ def compute_losses(
     for spec in losses:
         fn = get_metric(spec["metric"])
         pname = spec["prediction"].lower()
-        pred, target, mask = _stack_pred_target(pname, preds, graph)
+        if "target" in spec and spec["target"] is not None:
+            pred, target, mask = _stack_pred_target(pname, preds, graph)
+        else:
+            # target-less spec (reference Model.py:161-162: loss_fn(pred)
+            # alone, e.g. a sum_zero regularizer on one prediction)
+            pred = preds[pname]
+            pred = pred.reshape(pred.shape[0], -1)
+            target = jnp.zeros_like(pred)
+            mask = jnp.ones((pred.shape[0], 1), jnp.float32)
         value = fn(pred, target, mask, **kw)
         if pname in ("hamiltonian", "hamiltonian_real", "hamiltonian_imag") and \
                 "sparsity_ratio" in preds:

@@ -297,10 +297,17 @@ class HamGNNPlusPlusOut(fnn.Module):
             ref_out = band_energies_batched(
                 graph, jax.lax.stop_gradient(graph.Hon), jax.lax.stop_gradient(graph.Hoff),
                 graph.Son, graph.Soff, k_vecs, basis,
-                num_bands=self.band_num_control, band_counts=band_counts)
-            ref_band, _, ref_gap = ref_out[0], ref_out[1], ref_out[2]
+                num_bands=self.band_num_control, band_counts=band_counts,
+                export_H_sym=want_H_sym)
+            ref_band, ref_gap = ref_out[0], ref_out[2]
             result["band_energy_ref"] = ref_band
             result["band_gap_ref"] = ref_gap
+            # reference-H counterparts so wavefunction / H_sym can sit under a
+            # loss spec like any other result-dict key (reference
+            # Model.py:128-179 iterates arbitrary keys)
+            result["wavefunction_ref"] = ref_out[1]
+            if want_H_sym:
+                result["H_sym_ref"] = ref_out[3 + (1 if band_counts is not None else 0)]
             if self.zero_point_shift:
                 result["band_energy"] = band - jnp.mean(band - ref_band)
 

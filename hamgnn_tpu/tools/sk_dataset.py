@@ -569,8 +569,14 @@ class CollinearTerms:
     model capacity/optimization, not teacher mismatch.
     """
 
-    def __init__(self, basis, seed: int = 0, amp: float = 0.01,
+    def __init__(self, basis, seed: int = 0, amp: float = 0.002,
                  zs=(14, 6), r0: float = 4.0):
+        # amp: the all-positive per-block couplings accumulate coherently
+        # over ~25-50 neighbor edges in heisenberg_terms, so the resulting
+        # exchange splitting is ~20x amp * nao-block norms; 0.002 Ha puts the
+        # max splitting at ~1.5 eV — the physical exchange-splitting regime
+        # (0.01 made it ~8 eV, 5x the spatial H, which both dominates the
+        # MAE loss and is physically nonsensical)
         from ..models.spin import _rank0_merge_matrix
 
         self.nao = basis.nao_max
@@ -689,6 +695,9 @@ def main_collinear(argv=None):
     ap.add_argument("--n", type=int, default=100)
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--nao-max", type=int, default=14)
+    ap.add_argument("--band-set", action="store_true",
+                    help="also write pristine (unrattled) prediction "
+                         "structures with seeded spins under <out>_band")
     args = ap.parse_args(argv)
 
     from ..data.dataset import save_graph_npz
@@ -709,6 +718,17 @@ def main_collinear(argv=None):
     os.makedirs(args.out, exist_ok=True)
     save_graph_npz(os.path.join(args.out, "graph_data.npz"), crystals)
     print(f"wrote {len(crystals)} collinear structures under {args.out}")
+
+    if args.band_set:
+        brng = np.random.RandomState(args.seed + 2)
+        band = [collinear_crystal(teacher, col, proto[2], proto[1], proto[0],
+                                  brng)
+                for proto in protos.values()]
+        os.makedirs(args.out + "_band", exist_ok=True)
+        save_graph_npz(os.path.join(args.out + "_band", "graph_data.npz"),
+                       band)
+        print(f"wrote {len(band)} pristine collinear band-test structures "
+              f"under {args.out}_band")
 
 
 class NonCollinearTerms:

@@ -421,6 +421,44 @@ class TestHSymAndPredictedOverlap:
         assert np.isfinite(np.asarray(res2["H_sym"])).all()
         assert "band_energy" in res2
 
+    def test_generic_result_keys_under_losses(self, setup):
+        """wavefunction / H_sym (any result-dict key) can sit under a loss
+        spec, as in the reference's generic loss loop (Model.py:128-179);
+        target-less specs apply the metric to the prediction alone
+        (Model.py:161-162)."""
+        from hamgnn_tpu.models.model import compute_losses
+
+        graph, rep, out, p_rep, p_out, feats, res = setup
+        rng = np.random.default_rng(34)
+        head = HamGNNPlusPlusOut(
+            irreps_in_node=FEAT, irreps_in_edge=FEAT, nao_max=14,
+            ham_type="openmx", add_H0=False, zero_point_shift=False,
+            calculate_band_energy=True, num_k=2, band_num_control=2)
+        k_vecs = np.asarray(
+            random_k_cartesian(rng, 2, np.asarray(graph.cell[0])),
+            np.float32)[None]
+        p = head.init(jax.random.PRNGKey(4), graph, feats,
+                      k_vecs=jnp.asarray(k_vecs))
+        preds = head.apply(p, graph, feats, k_vecs=jnp.asarray(k_vecs))
+        assert "wavefunction_ref" in preds and "H_sym_ref" in preds
+        specs = [
+            {"metric": "mae", "prediction": "H_sym", "target": "H_sym",
+             "loss_weight": 1.0},
+            {"metric": "mae", "prediction": "wavefunction",
+             "target": "wavefunction", "loss_weight": 1.0},
+            {"metric": "sum_zero", "prediction": "hamiltonian_off",
+             "loss_weight": 0.1},  # target-less regularizer
+        ]
+        total, logs = compute_losses(preds, graph, specs)
+        assert np.isfinite(float(total))
+        assert np.isfinite(float(logs["mae_h_sym"]))
+        assert np.isfinite(float(logs["mae_wavefunction"]))
+        # an unknown key still fails fast with a clear message
+        with pytest.raises(KeyError, match="no_such_key"):
+            compute_losses(preds, graph, [
+                {"metric": "mae", "prediction": "no_such_key",
+                 "target": "no_such_key", "loss_weight": 1.0}])
+
 
 class TestElementValidation:
     def test_unknown_element_raises_with_name(self):

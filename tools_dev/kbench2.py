@@ -16,10 +16,17 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, os.path.dirname(HERE))
 
 CASES = [
-    # (label, plan, tile_fwd, tile_bwd)
-    ("edge f512",  "edge", 512, 512),
-    ("edge f1024", "edge", 1024, 1024),
-    ("node f512",  "node", 512, 1024),
+    # (label, plan, tile_fwd, tile_bwd, extra_env)
+    ("node base",      "node", 0, 0, {}),
+    ("node storemid",  "node", 0, 0, {"HAMGNN_TP_STOREMID": "1"}),
+    ("node dxmerged",  "node", 0, 0, {"HAMGNN_TP_DX": "merged"}),
+    ("node both",      "node", 0, 0, {"HAMGNN_TP_STOREMID": "1",
+                                      "HAMGNN_TP_DX": "merged"}),
+    ("edge base",      "edge", 0, 0, {}),
+    ("edge storemid",  "edge", 0, 0, {"HAMGNN_TP_STOREMID": "1"}),
+    ("edge dxmerged",  "edge", 0, 0, {"HAMGNN_TP_DX": "merged"}),
+    ("edge both",      "edge", 0, 0, {"HAMGNN_TP_STOREMID": "1",
+                                      "HAMGNN_TP_DX": "merged"}),
 ]
 
 
@@ -74,7 +81,10 @@ def run_one(plan: str, tf: int, tb: int):
 
     t_f = device_time_ms(fwd, (x, sh, w, fw), n=8, warmup=2)
     t_fb = device_time_ms(fwdbwd, (x, sh, w, fw), n=8, warmup=2)
-    print(f"RESULT {plan} tf={tf} tb={tb}: fwd {t_f:7.3f} ms  "
+    tag = " ".join(f"{k}={os.environ[k]}"
+                   for k in ("HAMGNN_TP_STOREMID", "HAMGNN_TP_DX")
+                   if k in os.environ)
+    print(f"RESULT {plan} tf={tf} tb={tb} {tag}: fwd {t_f:7.3f} ms  "
           f"fwd+bwd {t_fb:7.3f} ms", flush=True)
 
 
@@ -82,9 +92,12 @@ def main():
     if len(sys.argv) > 1 and sys.argv[1] == "one":
         run_one(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]))
         return
-    for (label, plan, tf, tb) in CASES:
+    for (label, plan, tf, tb, extra) in CASES:
         env = dict(os.environ,
                    HAMGNN_TP_TILE_FWD=str(tf), HAMGNN_TP_TILE_BWD=str(tb))
+        for k in ("HAMGNN_TP_STOREMID", "HAMGNN_TP_DX"):
+            env.pop(k, None)
+        env.update(extra)
         subprocess.run([sys.executable, os.path.abspath(__file__),
                         "one", plan, str(tf), str(tb)], env=env, check=False)
 
