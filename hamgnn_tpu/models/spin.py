@@ -281,8 +281,15 @@ class HamGNNMagneticOut(fnn.Module):
             w_on = merged_head(node_attr, self.irreps_in_node, "onsite_weight")
             w_off = merged_head(edge_attr, self.irreps_in_edge, "offsite_weight", off=True)
         else:
-            w_on = jnp.ones_like(h_on)
-            w_off = jnp.ones_like(h_off)
+            # unit weights still carry the orbital mask: the reference's
+            # weights are always passed through
+            # apply_orbital_masks_to_hamiltonians (:3248) before entering the
+            # Heisenberg contractions, so invalid-orbital entries of the
+            # magnetic term are zero — without this the aggregated J sums
+            # put weight on entries the (masked) targets zero out, an
+            # irreducible fitting floor
+            w_on = on_pair
+            w_off = off_pair
 
         # J couplings
         J_ir = j_irreps(basis, self.soc_switch)

@@ -156,6 +156,39 @@ class TestMagneticHead:
             assert np.isfinite(np.asarray(res["hamiltonian_real_on"])).all()
             assert np.isfinite(np.asarray(res["hamiltonian_imag_on"])).all()
 
+    @pytest.mark.parametrize("soc,collinear", [(True, False), (False, False),
+                                               (False, True)])
+    def test_unit_weights_carry_orbital_mask(self, setup, soc, collinear):
+        """With use_learned_weight=False the Heisenberg term must be zero on
+        invalid-orbital entries: the reference's weights are always passed
+        through apply_orbital_masks_to_hamiltonians (:3248) before the
+        Heisenberg contractions.  Unmasked unit weights put aggregated-J
+        weight on entries the (masked) targets zero out — an irreducible
+        training floor (found as an ~8e-4 Ha plateau in the collinear
+        proof)."""
+        graph, feats = setup
+        head = HamGNNMagneticOut(
+            irreps_in_node=FEAT, irreps_in_edge=FEAT, nao_max=14,
+            ham_type="openmx", soc_switch=soc, collinear_spin=collinear,
+            use_learned_weight=False, add_H0=False, symmetrize=False)
+        params = head.init(jax.random.PRNGKey(2), graph, feats)
+        res = head.apply(params, graph, feats)
+        if collinear:
+            h = np.asarray(res["hamiltonian_on"])
+            m = np.asarray(res["mask_on"])
+            assert np.abs(h * (1 - m)).max() == 0.0
+            h2 = np.asarray(res["hamiltonian_off"])
+            m2 = np.asarray(res["mask_off"])
+            assert np.abs(h2 * (1 - m2)).max() == 0.0
+        else:
+            for key, mkey in (("hamiltonian_real_on", "mask_on"),
+                              ("hamiltonian_imag_on", "mask_on"),
+                              ("hamiltonian_real_off", "mask_off"),
+                              ("hamiltonian_imag_off", "mask_off")):
+                h = np.asarray(res[key])
+                m = np.asarray(res[mkey])
+                assert np.abs(h * (1 - m)).max() == 0.0, key
+
 
 class TestCollinearBand:
     def test_collinear_band_branch(self):
